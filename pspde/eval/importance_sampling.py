@@ -1,0 +1,170 @@
+"""Importance-sampling diagnostics — the downstream *application* of a
+learned control.
+
+Rebuilds ``do_importance_sampling_me`` (utilities.py:287-359, the streaming
+memory-efficient variant called from the training loop at solver.py:521-528)
+and the trajectory-keeping ``do_importance_sampling`` (utilities.py:228-284)
+as jitted ``lax.scan`` simulations: simulate the controlled process X_u on a
+fresh delta_t = 0.01 grid, accumulate the Ito and Riemann integrals of the
+control, weight by the Girsanov factor exp(-int u dW - 1/2 int |u|^2 dt),
+and report mean / variance / relative error of E[exp(-int f - g(X_T))].
+
+Numerics note (SURVEY.md section 7 "hard parts"): the exponentials overflow
+easily; accumulators are kept in float32 and the estimator statistics are
+computed from the log-weights shifted by their max (a stable
+log-sum-exp formulation), which the reference does not do.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _control_closure(model, delta_t: float, N: int):
+    """Evaluate the model control u = -Z on the IS time grid, mapping IS
+    step n to the model's time index ceil(t / model.delta_t)
+    (solver.py:360-362)."""
+    control_fn = model._control_fn()
+    params = model.params
+    idx = jnp.asarray(
+        np.ceil(np.arange(N) * delta_t / model.delta_t - 1e-9).astype(np.int32))
+
+    def u(X, n):
+        t = n.astype(jnp.float32) * delta_t
+        Z, _ = control_fn(params, X, idx[n], t)
+        return -Z
+
+    return u
+
+
+def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,
+             simulate_naive: bool, u_true_fn=None):
+    d = problem.d
+    dt = jnp.float32(delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+    X0 = jnp.broadcast_to(problem.X_0, (K, d)).astype(jnp.float32)
+
+    def has_f(x, t):
+        f = getattr(problem, "f", None)
+        if f is None:
+            return jnp.zeros(x.shape[0])
+        try:
+            return f(x, t)
+        except TypeError:
+            return f(x)
+
+    def step(carry, n):
+        X, X_u, ito, riem, f_int, f_int_u = carry
+        t = n.astype(jnp.float32) * dt
+        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d))
+        if simulate_naive:
+            X = X + problem.b(X) * dt + sig.apply(xi) * sq_dt
+            f_int = f_int + has_f(X, t) * dt
+        if u_true_fn is not None:
+            ut = u_true_fn(X_u, n)
+        else:
+            ut = u_fn(X_u, n)
+        X_u = (X_u + (problem.b(X_u) + sig.apply(ut)) * dt
+               + sig.apply(xi) * sq_dt)
+        ito = ito + jnp.sum(ut * xi, axis=-1) * sq_dt
+        riem = riem + jnp.sum(ut * ut, axis=-1) * dt
+        f_int_u = f_int_u + has_f(X_u, t) * dt
+        return (X, X_u, ito, riem, f_int, f_int_u), None
+
+    zeros = jnp.zeros((K,), dtype=jnp.float32)
+    carry0 = (X0, X0, zeros, zeros, zeros, zeros)
+    (X, X_u, ito, riem, f_int, f_int_u), _ = jax.lax.scan(
+        step, carry0, jnp.arange(N))
+    return X, X_u, ito, riem, f_int, f_int_u
+
+
+def _stats_from_logw(logw):
+    """Stable mean/variance/relative-error of exp(logw)."""
+    m = jnp.max(logw)
+    w = jnp.exp(logw - m)
+    mean_s = jnp.mean(w)
+    n = logw.shape[0]
+    var_s = jnp.var(w) * n / max(n - 1, 1)
+    mean = mean_s * jnp.exp(m)
+    var = var_s * jnp.exp(2.0 * m)
+    rel = jnp.sqrt(var_s) / mean_s
+    return mean, var, rel
+
+
+def importance_sampling(problem, model, K: int, control: str = "approx",
+                        simulate_naive: bool = False, delta_t: float = 0.01,
+                        key: Optional[jax.Array] = None, verbose: bool = False,
+                        cross_statistics: Optional[float] = None):
+    """Streaming IS diagnostics (do_importance_sampling_me,
+    utilities.py:287-359).  Returns (mean_IS, var_IS, rel_IS) or the
+    6-tuple with naive statistics when ``simulate_naive``."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    N = int(np.ceil(problem.T / delta_t))
+    u_true_fn = None
+    if control == "true":
+        ts = np.arange(N) * delta_t
+        ur = problem.u_ref_fn(ts)
+        u_true_fn = lambda X, n: ur(X, n)
+        u_fn = None
+    else:
+        u_fn = _control_closure(model, delta_t, N)
+
+    @jax.jit
+    def run(key):
+        X, X_u, ito, riem, f_int, f_int_u = _is_scan(
+            problem, u_fn, K, N, delta_t, key, simulate_naive, u_true_fn)
+        log_girsanov = -ito - 0.5 * riem
+        logw_is = -f_int_u - problem.g(X_u) + log_girsanov
+        out = _stats_from_logw(logw_is)
+        extra = {}
+        if simulate_naive:
+            logw_naive = -f_int - problem.g(X)
+            extra["naive"] = _stats_from_logw(logw_naive)
+            if cross_statistics is not None:
+                extra["crossed_naive"] = jnp.sum(X > cross_statistics)
+        if cross_statistics is not None:
+            extra["crossed_is"] = jnp.sum(X_u > cross_statistics)
+        return out, extra
+
+    (mean_IS, var_IS, rel_IS), extra = jax.device_get(run(key))
+
+    if verbose:
+        s = ""
+        if simulate_naive:
+            mn, vn, rn = extra["naive"]
+            s += ("naive mean: %.4e, naive variance: %.4e, naive RE %.4e"
+                  % (mn, vn, rn))
+            if "crossed_naive" in extra:
+                s += ", crossed: %d/%d" % (extra["crossed_naive"], K)
+            s += "\n"
+        s += ("IS mean: %.4e, IS variance: %.4e, IS RE %.4e"
+              % (mean_IS, var_IS, rel_IS))
+        if "crossed_is" in extra:
+            s += ", crossed: %d/%d" % (extra["crossed_is"], K)
+        print(s)
+
+    if simulate_naive:
+        mn, vn, rn = extra["naive"]
+        return (float(mn), float(vn), float(rn),
+                float(mean_IS), float(var_IS), float(rel_IS))
+    return float(mean_IS), float(var_IS), float(rel_IS)
+
+
+# Reference-name aliases
+do_importance_sampling_me = importance_sampling
+
+
+def do_importance_sampling(problem, model, K, control="approx", verbose=True,
+                           delta_t=0.01, key=None):
+    """Full 6-tuple variant (utilities.py:228-284) — always simulates the
+    naive baseline alongside."""
+    return importance_sampling(problem, model, K, control=control,
+                               simulate_naive=True, delta_t=delta_t,
+                               key=key, verbose=verbose)

@@ -1,0 +1,54 @@
+"""Device-mesh and sharding helpers.
+
+The reference is single-GPU (``pt.device('cuda')`` hardcoded at
+solver.py:36,573,947); the only parallel axis its algorithms have is the
+trajectory-ensemble ('paths') batch dim K.  Here that axis is sharded
+across chips as the 'dp' mesh axis; parameters are replicated (optionally
+sharded over a 'tp' axis for very wide ansatz layers).  All cross-chip
+communication is inserted by XLA from sharding constraints: loss means
+become all-reduces over ICI, parameter gradients are psummed by GSPMD —
+no hand-written collectives needed at these payload sizes (scalars and
+parameter-sized tensors; latency-, not bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
+              devices=None) -> Mesh:
+    """Create a ('dp', 'tp') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_dp is None:
+        n_dp = n // n_tp
+    assert n_dp * n_tp <= n, f"need {n_dp * n_tp} devices, have {n}"
+    dev = np.array(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
+    return Mesh(dev, ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (path-ensemble) axis over 'dp'."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Optional[Mesh]):
+    if mesh is None:
+        return x
+    return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+
+def constrain_batch(x, mesh: Optional[Mesh]):
+    """In-graph sharding constraint on the path axis."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))

@@ -1,0 +1,270 @@
+"""Euler-Maruyama SDE rollout engines as ``lax.scan`` kernels.
+
+This is the TPU-native replacement for the reference's eager Python time
+loops (solver.py:440-494 for the HJB/parabolic solver, solver.py:723-785
+for the stopped elliptic rollout): one ``lax.scan`` over N steps, each step
+operating on the whole (K, d) path ensemble, jitted and differentiable
+end-to-end (backprop-through-rollout, matching the reference's full-graph
+``loss.backward()``), with optional rematerialization for long horizons
+(the reference's N=200,000 BSDE runs would not fit activations otherwise).
+
+Noise is generated inside the scan from a folded-in PRNG key, so HBM usage
+is O(K d) instead of the reference's pre-drawn (K, d, N+1) tensor
+(solver.py:381).
+
+Semantics of one HJB step (solver.py:449-494; note the reference updates X
+*before* evaluating h, the accumulators and the reference control, so all
+of those see X_{n+1} with time t_n — reproduced exactly):
+
+    Z   = control(X_n, n)                 # pre-step state
+    c   = -Z if adaptive else 0           # (detached if detach_forward)
+    X'  = X + (b(X) + sigma c) dt + sigma xi sqrt(dt)
+    Y  += (-h(t_n, X', Y, Z) + <Z, c>) dt + <Z, xi> sqrt(dt)
+    Z_sum, u_L2, ... accumulate at X'
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class HJBRolloutOut(NamedTuple):
+    X: jnp.ndarray        # (K, d) terminal state
+    Y: jnp.ndarray        # (K,) accumulated value process
+    Z_sum: jnp.ndarray    # (K,) KL / Ito accumulators
+    u_l2: jnp.ndarray     # (K,) control L2 error accumulator
+    add_loss: jnp.ndarray  # (K,) value-mode consistency penalty
+
+
+@dataclasses.dataclass(frozen=True)
+class HJBRolloutConfig:
+    N: int
+    delta_t: float
+    adaptive_forward: bool = True
+    detach_forward: bool = False
+    accumulate_kl: bool = False       # 'relative_entropy*' losses
+    kl_ito_term: bool = False         # 'relative_entropy_BSDE'
+    reparametrization: bool = False   # 'reparametrization' loss
+    repa_phase: Optional[int] = None  # 'log-variance-repa': l % 2 (static)
+    burgers_drift: bool = False
+    value_mode: bool = False
+    track_u_l2: bool = True
+    remat: bool = False
+
+
+def hjb_rollout(
+    cfg: HJBRolloutConfig,
+    problem,
+    control_fn: Callable,     # (params, X, n, t) -> (Z, V_or_None)
+    params: Any,
+    X0: jnp.ndarray,          # (K, d)
+    Y0: jnp.ndarray,          # (K,)
+    key: jax.Array,
+    u_ref: Optional[Callable] = None,   # (X, n) -> (K, d)
+) -> HJBRolloutOut:
+    """Forward ensemble rollout with backward value accumulation."""
+    K, d = X0.shape
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+
+    def step(carry, n):
+        X, Y, Z_sum, u_l2, add_loss = carry
+        t = n.astype(jnp.float32) * dt
+
+        Z, V_here = control_fn(params, X, n, t)
+
+        if cfg.value_mode:
+            # solver.py:441-443: consistency penalty (V(X_n, t_n) - Y_n)^2
+            # for n > 0
+            add_loss = add_loss + jnp.where(
+                n > 0, (V_here - Y) ** 2, jnp.zeros_like(Y))
+
+        if cfg.repa_phase is not None and cfg.repa_phase == 0:
+            # even iteration of 'log-variance-repa' (solver.py:444-447):
+            # Z from a frozen copy, gradient flows through the forward
+            # process only.
+            Z_used = lax.stop_gradient(Z)
+        else:
+            Z_used = Z
+
+        if cfg.adaptive_forward:
+            if cfg.burgers_drift:
+                # solver.py:453-454
+                c = jnp.ones_like(X) * (Y[:, None] - (2.0 + d) / (2.0 * d))
+            else:
+                c = -Z
+        else:
+            c = jnp.zeros_like(X)
+        if cfg.detach_forward or (cfg.repa_phase is not None
+                                  and cfg.repa_phase == 1):
+            c = lax.stop_gradient(c)
+
+        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                               dtype=X.dtype)
+
+        X_new = X + (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
+
+        Zc = jnp.sum(Z_used * c, axis=-1)
+        Zxi = jnp.sum(Z_used * xi, axis=-1)
+        Y_new = Y + (-problem.h(t, X_new, Y, Z_used) + Zc) * dt + Zxi * sq_dt
+
+        if cfg.reparametrization:
+            # solver.py:459-466, 480-482: v from a frozen copy of the net
+            v = lax.stop_gradient(-Z)
+            Z_sum = Z_sum + (-0.5 * jnp.sum(v * v, axis=-1) * dt
+                             + jnp.sum(v * c, axis=-1) * dt
+                             + jnp.sum(v * xi, axis=-1) * sq_dt)
+        if cfg.accumulate_kl:
+            # solver.py:484-489
+            Z_sum = Z_sum + (0.5 * jnp.sum(Z_used * Z_used, axis=-1)
+                             + problem.f(X_new, t)) * dt
+            if cfg.kl_ito_term:
+                Z_sum = Z_sum - Zxi * sq_dt
+
+        if cfg.track_u_l2 and u_ref is not None:
+            # solver.py:491-494 (device-side table lookup, no host sync)
+            err = -lax.stop_gradient(Z_used) - u_ref(X_new, n)
+            u_l2 = u_l2 + jnp.sum(err * err, axis=-1) * dt
+
+        return (X_new, Y_new, Z_sum, u_l2, add_loss), None
+
+    if cfg.remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    zeros = jnp.zeros((K,), dtype=X0.dtype)
+    carry0 = (X0, Y0, zeros, zeros, zeros)
+    (X, Y, Z_sum, u_l2, add_loss), _ = lax.scan(
+        step, carry0, jnp.arange(cfg.N))
+    return HJBRolloutOut(X, Y, Z_sum, u_l2, add_loss)
+
+
+class StoppedRolloutOut(NamedTuple):
+    X: jnp.ndarray          # (K, d) state at stopping (or final) time
+    Y: jnp.ndarray          # (K,) accumulated value increments
+    t: jnp.ndarray          # (K,) per-path elapsed time (general solver)
+    stopped: jnp.ndarray    # (K,) bool
+    hitting: jnp.ndarray    # (K,) number of active steps taken
+    v_l2: jnp.ndarray       # (K,) accumulated V-vs-reference L2 error
+    step_loss: jnp.ndarray  # () accumulated per-step losses (BSDE-2/3)
+    active_count: jnp.ndarray  # () total active path-steps (K_log)
+
+
+@dataclasses.dataclass(frozen=True)
+class StoppedRolloutConfig:
+    N: int
+    delta_t: float
+    adaptive_forward: bool = False
+    detach_forward: bool = True
+    recursive_y_in_h: bool = False   # BSDE-2 / BSDE-4: h sees recursive Y
+    step_loss: Optional[str] = None  # None | 'BSDE-2' | 'BSDE-3'
+    time_stopping: bool = False      # general solver: stop when t + dt > T
+    remat: bool = False
+    alpha0: float = 1.0
+
+
+def stopped_rollout(
+    cfg: StoppedRolloutConfig,
+    problem,
+    value_grad_fn: Callable,  # (params, X, t) -> (V, Z) with Z = sigma^T grad V
+    params: Any,
+    X0: jnp.ndarray,
+    Y0: jnp.ndarray,
+    t0: jnp.ndarray,          # (K,) start times (zeros for elliptic)
+    key: jax.Array,
+    inside_fn: Callable,      # (X, X_proposal) -> (K,) bool domain test
+    v_ref: Optional[Callable] = None,   # (X,) -> (K,) elliptic reference
+) -> StoppedRolloutOut:
+    """Fixed-length rollout with stopped-path masking (solver.py:723-785).
+
+    Masking algebra mirrors the reference exactly: the exit test produces
+    ``new_selection``; Y only advances on ``new_selection & ~stopped``; X
+    freezes once a path leaves the domain (or exhausts the time horizon in
+    the general-solver case, solver.py:1131).
+    """
+    K, d = X0.shape
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+    T = problem.T if cfg.time_stopping else None
+
+    def step(carry, n):
+        X, Y, t, stopped, hitting, v_l2, step_loss, active_count = carry
+        active = ~stopped
+
+        V_here, Z = value_grad_fn(params, X, t)
+
+        if v_ref is not None:
+            err = (lax.stop_gradient(V_here) - v_ref(X)) ** 2
+            v_l2 = v_l2 + jnp.where(active, err, 0.0) * dt
+
+        if cfg.adaptive_forward:
+            c = -Z
+        else:
+            c = jnp.zeros_like(X)
+        if cfg.detach_forward:
+            c = lax.stop_gradient(c)
+
+        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                               dtype=X.dtype)
+        drift = (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
+        X_prop = X + drift * active[:, None].astype(X.dtype)
+
+        new_sel = inside_fn(X, X_prop)
+        if cfg.time_stopping:
+            new_sel = new_sel & ((t + dt) <= T)
+        adv = new_sel & active
+        advf = adv.astype(X.dtype)
+
+        hitting = hitting + active.astype(X.dtype)
+
+        if cfg.step_loss == "BSDE-2":
+            # solver.py:762-763
+            step_loss = step_loss + cfg.alpha0 * jnp.mean(
+                (V_here - Y) ** 2 * advf)
+
+        y_in_h = Y if cfg.recursive_y_in_h else V_here
+        h_val = _call_h(problem, t, X, y_in_h, Z)
+        dY = ((-h_val + jnp.sum(Z * c, axis=-1)) * dt
+              + jnp.sum(Z * xi, axis=-1) * sq_dt)
+        Y_new = Y + dY * advf
+
+        X_new = jnp.where(adv[:, None], X_prop, X)
+        t_new = t + dt * advf if cfg.time_stopping else t
+
+        if cfg.step_loss == "BSDE-3":
+            # one-step residual, solver.py:782-785
+            V_next, _ = value_grad_fn(params, X_new, t_new)
+            resid = (V_next - V_here
+                     + (h_val - jnp.sum(Z * c, axis=-1)) * dt
+                     - jnp.sum(Z * xi, axis=-1) * sq_dt)
+            step_loss = step_loss + cfg.alpha0 * jnp.mean(resid ** 2 * advf)
+
+        active_count = active_count + jnp.sum(advf)
+        stopped_new = stopped | ~new_sel
+
+        return (X_new, Y_new, t_new, stopped_new, hitting, v_l2, step_loss,
+                active_count), None
+
+    if cfg.remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    zeros = jnp.zeros((K,), dtype=X0.dtype)
+    carry0 = (X0, Y0, t0, jnp.zeros((K,), dtype=bool), zeros, zeros,
+              jnp.float32(0.0), jnp.float32(0.0))
+    out, _ = lax.scan(step, carry0, jnp.arange(cfg.N))
+    return StoppedRolloutOut(*out)
+
+
+def _call_h(problem, t, x, y, z):
+    """Dispatch the reference's two h signatures: elliptic h(x, y, z)
+    (problems.py:985) vs parabolic h(t, x, y, z) (problems.py:45)."""
+    if getattr(problem, "T", None) is None:
+        return problem.h(x, y, z)
+    return problem.h(t, x, y, z)

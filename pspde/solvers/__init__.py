@@ -1,0 +1,4 @@
+from .hjb import HJBSolver
+
+# Reference-name alias (solver.py:18)
+Solver = HJBSolver

@@ -1,0 +1,136 @@
+"""Rollout statistics, loss-zoo values, and gradient-estimator identities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pspde.losses import pathspace as lp
+from pspde.problems import LLGC, HeatEquation
+from pspde.rollout.sde import HJBRolloutConfig, hjb_rollout
+
+
+def _zero_control(params, X, n, t):
+    return jnp.zeros_like(X), None
+
+
+def test_uncontrolled_ou_moments(key):
+    """With zero control the rollout is plain Euler-Maruyama on the OU
+    process: X_T ~ N(e^{AT} x0, Sigma) up to O(dt) bias."""
+    d, T, dt = 2, 1.0, 0.01
+    p = LLGC(d=d, T=T)
+    K = 200_000
+    cfg = HJBRolloutConfig(N=int(T / dt), delta_t=dt, adaptive_forward=False,
+                           track_u_l2=False)
+    X0 = jnp.zeros((K, d))
+    Y0 = jnp.zeros((K,))
+    out = jax.jit(lambda k: hjb_rollout(cfg, p, _zero_control, {}, X0, Y0, k)
+                  )(key)
+    X = np.asarray(out.X)
+    # stationary-ish variance of OU with A=-I, B=I: var = (1 - e^{-2T})/2
+    expected_var = (1 - np.exp(-2 * T)) / 2
+    np.testing.assert_allclose(X.mean(axis=0), 0.0, atol=0.01)
+    np.testing.assert_allclose(X.var(axis=0), expected_var, rtol=0.03)
+
+
+def test_y_accumulates_girsanov_integral(key):
+    """For h = 0 (heat equation) and constant control Z, the Y recursion
+    reduces to Y_T = sum Z.(c dt + xi sqrt(dt)) which we can replicate."""
+    d, T, dt = 3, 0.5, 0.05
+    p = HeatEquation(d=d, T=T)
+    K = 4096
+    N = int(T / dt)
+    zconst = jnp.ones((d,)) * 0.3
+
+    def control(params, X, n, t):
+        return jnp.broadcast_to(zconst, X.shape), None
+
+    cfg = HJBRolloutConfig(N=N, delta_t=dt, adaptive_forward=True,
+                           detach_forward=False, track_u_l2=False)
+    X0 = jnp.zeros((K, d))
+    out = hjb_rollout(cfg, p, control, {}, X0, jnp.zeros((K,)), key)
+    # E[Y_T] = N * <Z, c> dt = -N |Z|^2 dt (c = -Z)
+    expected = -N * float(jnp.sum(zconst ** 2)) * dt
+    np.testing.assert_allclose(float(jnp.mean(out.Y)), expected, atol=0.02)
+
+
+def test_loss_values_on_frozen_inputs():
+    Y = jnp.array([1.0, 2.0, 3.0, 4.0])
+    g = jnp.array([0.5, 1.5, 2.5, 3.0])
+    Z_sum = jnp.array([0.1, 0.2, 0.3, 0.4])
+    r = np.asarray(Y - g)
+    np.testing.assert_allclose(float(lp.moment_loss(Y, g)), (r ** 2).mean(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(lp.log_variance_loss(Y, g)),
+                               (r ** 2).mean() - r.mean() ** 2, rtol=1e-5)
+    np.testing.assert_allclose(float(lp.variance_loss(Y, g)),
+                               np.var(np.exp(-np.asarray(g - Y)), ddof=1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(lp.relative_entropy_loss(Z_sum, g)),
+                               np.asarray(Z_sum + g).mean(), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(lp.cross_entropy_loss(Y, g, adaptive=False)),
+        (np.asarray(Y) * np.exp(-np.asarray(g))).mean(), rtol=1e-6)
+
+
+def test_log_variance_gradient_identity():
+    """The gradient of the log-variance loss equals the detached
+    centered-residual estimator 2 E[(r - rbar) dY/dtheta] (SURVEY.md
+    section 7 'hard parts')."""
+    key = jax.random.PRNGKey(3)
+    K = 64
+    g = jax.random.normal(key, (K,))
+    xi = jax.random.normal(jax.random.fold_in(key, 1), (K,))
+
+    def Y_of_theta(theta):
+        return theta[0] * xi + theta[1]
+
+    theta = jnp.array([0.7, -0.2])
+    grad_loss = jax.grad(
+        lambda th: lp.log_variance_loss(Y_of_theta(th), g))(theta)
+    r = Y_of_theta(theta) - g
+    centered = r - jnp.mean(r)
+    dY = jax.jacobian(Y_of_theta)(theta)  # (K, 2)
+    estimator = 2.0 * jnp.mean(centered[:, None] * dY, axis=0)
+    np.testing.assert_allclose(np.asarray(grad_loss), np.asarray(estimator),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_cross_entropy_detached_weight_gradient():
+    """Adaptive cross-entropy: gradient treats exp(Y) weight as constant."""
+    key = jax.random.PRNGKey(4)
+    K = 32
+    g = 0.1 * jax.random.normal(key, (K,))
+    xi = jax.random.normal(jax.random.fold_in(key, 1), (K,))
+
+    def Y_of_theta(th):
+        return th * xi
+
+    th = jnp.float32(0.3)
+    got = jax.grad(lambda t: lp.cross_entropy_loss(Y_of_theta(t), g,
+                                                   adaptive=True))(th)
+    w = jnp.exp(-g + Y_of_theta(th))
+    expected = jnp.mean(w * xi)
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
+
+
+def test_remat_matches_no_remat(key):
+    p = LLGC(d=2, T=0.5)
+    K, dt = 128, 0.05
+
+    def control(params, X, n, t):
+        return params["w"] * X, None
+
+    params = {"w": jnp.float32(0.3)}
+    X0 = jnp.zeros((K, 2))
+    Y0 = jnp.zeros((K,))
+
+    def loss(params, remat):
+        cfg = HJBRolloutConfig(N=10, delta_t=dt, remat=remat,
+                               track_u_l2=False)
+        out = hjb_rollout(cfg, p, control, params, X0, Y0, key)
+        return lp.log_variance_loss(out.Y, p.g(out.X))
+
+    l1, g1 = jax.value_and_grad(lambda p_: loss(p_, False))(params)
+    l2, g2 = jax.value_and_grad(lambda p_: loss(p_, True))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(float(g1["w"]), float(g2["w"]), rtol=1e-5)
