@@ -52,3 +52,26 @@ def constrain_batch(x, mesh: Optional[Mesh]):
     if mesh is None:
         return x
     return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Column-shard dense kernels over the 'tp' mesh axis.
+
+    The ansatz nets are small (10^3-10^4 params; SURVEY.md 2.6: TP
+    unnecessary at reference scale), but for very wide custom nets or very
+    large d this shards every 2-d kernel whose output dim divides the tp
+    axis size; all other leaves (biases, scalars, opt state) replicate.
+    GSPMD then partitions the matmuls and inserts the collectives.
+    """
+    n_tp = mesh.shape["tp"]
+
+    def put(path_leaf):
+        leaf = path_leaf
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and leaf.shape[-1] % n_tp == 0 and leaf.shape[-1] >= n_tp):
+            spec = P(*([None] * (leaf.ndim - 1) + ["tp"]))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, params)
