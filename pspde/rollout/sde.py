@@ -165,6 +165,7 @@ class StoppedRolloutConfig:
     recursive_y_in_h: bool = False   # BSDE-2 / BSDE-4: h sees recursive Y
     step_loss: Optional[str] = None  # None | 'BSDE-2' | 'BSDE-3'
     time_stopping: bool = False      # general solver: stop when t + dt > T
+    no_y_update: bool = False        # solve_linear_L2_projection flag
     remat: bool = False
     alpha0: float = 1.0
 
@@ -229,11 +230,17 @@ def stopped_rollout(
             step_loss = step_loss + cfg.alpha0 * jnp.mean(
                 (V_here - Y) ** 2 * advf)
 
-        y_in_h = Y if cfg.recursive_y_in_h else V_here
-        h_val = _call_h(problem, t, X, y_in_h, Z)
-        dY = ((-h_val + jnp.sum(Z * c, axis=-1)) * dt
-              + jnp.sum(Z * xi, axis=-1) * sq_dt)
-        Y_new = Y + dY * advf
+        if cfg.no_y_update:
+            # solve_linear_L2_projection (solver.py:1099, 1136): Y stays at
+            # its initial value V(X_0, t_0)
+            Y_new = Y
+            h_val = jnp.zeros_like(Y)
+        else:
+            y_in_h = Y if cfg.recursive_y_in_h else V_here
+            h_val = _call_h(problem, t, X, y_in_h, Z)
+            dY = ((-h_val + jnp.sum(Z * c, axis=-1)) * dt
+                  + jnp.sum(Z * xi, axis=-1) * sq_dt)
+            Y_new = Y + dY * advf
 
         X_new = jnp.where(adv[:, None], X_prop, X)
         t_new = t + dt * advf if cfg.time_stopping else t

@@ -1,3 +1,5 @@
+from .elliptic import EllipticSolver
+from .general import GeneralSolver
 from .hjb import HJBSolver
 
 # Reference-name alias (solver.py:18)

@@ -1,0 +1,308 @@
+"""Elliptic boundary-value solver (TPU-native rebuild of
+``EllipticSolver``, solver.py:560-931).
+
+One jitted step per iteration: boundary + domain sampling, the stopped
+Euler-Maruyama rollout with Z = sigma^T grad V per step (second-order
+autodiff through the scan replaces the reference's per-step
+``autograd.grad(..., create_graph=True)``, solver.py:725-729), loss
+assembly per method (diffusion / BSDE / BSDE-2 / BSDE-3 / BSDE-4 / PINN),
+one optax update.  PINN mode evaluates batched Hessians in one vmapped XLA
+computation instead of the reference's per-sample Python loop
+(solver.py:891-894).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import date
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ansatz import DenseNet
+from ..losses.pinn import elliptic_pinn_residual
+from ..rollout.sampling import inside_fn, sample_boundary, sample_domain
+from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+
+
+def _unbiased_var(x):
+    n = x.shape[0]
+    return jnp.var(x) * n / max(n - 1, 1)
+
+
+def masked_mean(x, mask):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+class EllipticSolver:
+    """Constructor kwargs mirror solver.py:562-566."""
+
+    def __init__(self, problem, name, seed=42, delta_t=0.01, N=50, lr=0.001,
+                 L=100000, K=200, K_boundary=50, alpha=(1.0, 1.0),
+                 adaptive_forward_process=False, detach_forward=True,
+                 print_every=100, verbose=True, approx_method="Y",
+                 sample_center=False, loss_method="diffusion",
+                 loss_with_stopped=False, K_test_log=None,
+                 PINN_log_variance=False, log_loss_parts=False,
+                 boundary_loss=True, boundary_type="Dirichlet",
+                 variance_moment_split=False, full_hessian=False,
+                 uniform_square=False, value_net=None, remat=None,
+                 mesh=None):
+        self.problem = problem
+        self.name = name
+        self.date = date.today().strftime("%Y-%m-%d")
+        self.d = problem.d
+        self.seed = seed
+        self.delta_t = float(delta_t)
+        self.N = N
+        self.lr = lr
+        self.L = L
+        self.K = K
+        self.K_boundary = K_boundary
+        self.alpha = tuple(alpha)
+        self.boundary_type = boundary_type
+
+        self.adaptive_forward_process = adaptive_forward_process
+        self.detach_forward = detach_forward
+        self.approx_method = approx_method
+        self.sample_center = sample_center
+        self.loss_method = loss_method
+        self.loss_with_stopped = loss_with_stopped
+        self.boundary_loss = boundary_loss
+        self.PINN_log_variance = PINN_log_variance
+        self.variance_moment_split = variance_moment_split
+        self.full_hessian = full_hessian
+        self.uniform_square = uniform_square
+        self.print_every = print_every
+        self.verbose = verbose
+        self.log_loss_parts = log_loss_parts
+        self.mesh = mesh
+        self.remat = (N > 512) if remat is None else remat
+
+        key = jax.random.PRNGKey(seed)
+        k_net, self._train_key = jax.random.split(key)
+        self.V_net = value_net if value_net is not None else DenseNet(d_out=1)
+        self.params = self.V_net.init(k_net, jnp.zeros((1, self.d)))
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+
+        # logging (solver.py:613-626)
+        self.K_test_log = K_test_log
+        self.loss_log = []
+        self.loss_log_domain = []
+        self.loss_log_boundary = []
+        self.V_L2_log = []
+        self.V_test_L2 = []
+        self.V_test_abs = []
+        self.V_test_rel_abs = []
+        self.K_log = []
+        self.times = []
+        self.not_all_stopped_count = 0
+
+        self._step = None
+        self._test_fn = None
+
+    # ------------------------------------------------------------------
+    def V(self, X):
+        return self.V_net.apply(self.params, X)[:, 0]
+
+    def _v_fn(self, params):
+        return lambda X: self.V_net.apply(params, X)[:, 0]
+
+    def _value_grad_fn(self):
+        sig = self.problem.sigma_struct
+        net = self.V_net
+
+        def fn(params, X, t):
+            v_of_x = lambda x: net.apply(params, x)[:, 0]
+            V, pull = jax.vjp(v_of_x, X)
+            (gradX,) = pull(jnp.ones_like(V))
+            # solver.py:729: Z = sigma^T grad V
+            return V, sig.apply_T(gradX)
+
+        return fn
+
+    def _rollout_cfg(self):
+        lm = self.loss_method
+        return StoppedRolloutConfig(
+            N=self.N, delta_t=self.delta_t,
+            adaptive_forward=self.adaptive_forward_process,
+            detach_forward=self.detach_forward,
+            recursive_y_in_h=lm in ("BSDE-2", "BSDE-4"),
+            step_loss=lm if lm in ("BSDE-2", "BSDE-3") else None,
+            remat=self.remat, alpha0=self.alpha[0],
+        )
+
+    def _boundary_loss(self, params, Xb):
+        """Dirichlet value matching or Neumann radial-derivative matching
+        (solver.py:676-685)."""
+        v_fn = self._v_fn(params)
+        if self.boundary_type == "Dirichlet":
+            return jnp.mean((v_fn(Xb) - self.problem.g(Xb)) ** 2)
+        V, pull = jax.vjp(v_fn, Xb)
+        (grad_V,) = pull(jnp.ones_like(V))
+        lhs = jnp.sum(grad_V * Xb, axis=-1)
+        rhs = jnp.sum(self.problem.g(Xb) * Xb, axis=-1)
+        return jnp.mean((lhs - rhs) ** 2)
+
+    def _build_step(self):
+        problem = self.problem
+        geom = problem.geometry
+        lm = self.loss_method
+        cfg = self._rollout_cfg()
+        vg_fn = self._value_grad_fn()
+        ins = inside_fn(geom)
+        K, Kb, d = self.K, self.K_boundary, self.d
+        a0, a1 = self.alpha[0], self.alpha[1]
+        v_ref = problem.v_ref if hasattr(problem, "v_ref") else None
+
+        def loss_fn(params, key):
+            kb, kd, kr = jax.random.split(key, 3)
+            v_fn = self._v_fn(params)
+            loss = jnp.float32(0.0)
+            aux = {}
+
+            if self.sample_center:
+                Xc = jnp.zeros((1, d))
+                loss = loss + jnp.mean((v_fn(Xc) - problem.v_ref(Xc)) ** 2)
+
+            bound_l = jnp.float32(0.0)
+            if (lm not in ("BSDE-4", "BSDE") and self.boundary_loss
+                    and geom.bounded):
+                Xb = sample_boundary(kb, geom, Kb, d)
+                bound_l = self._boundary_loss(params, Xb)
+                loss = loss + a1 * bound_l
+            aux["boundary"] = bound_l
+
+            X0 = sample_domain(kd, geom, K, d,
+                               uniform_square=self.uniform_square)
+            if lm in ("BSDE-2", "BSDE-4", "BSDE", "diffusion"):
+                Y0 = v_fn(X0)
+            else:
+                Y0 = jnp.zeros((K,))
+
+            out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0,
+                                  jnp.zeros((K,)), kr, ins, v_ref=v_ref)
+            loss = loss + out.step_loss
+
+            if lm == "diffusion":
+                if self.variance_moment_split:
+                    # solver.py:788-789
+                    r = v_fn(out.X) - out.Y
+                    loss = loss + a0 * (_unbiased_var(r)
+                                        + jnp.mean(r[:1] ** 2))
+                else:
+                    loss = loss + a0 * jnp.mean((v_fn(out.X) - out.Y) ** 2)
+            if lm in ("BSDE-4", "BSDE"):
+                loss = loss + jnp.mean((problem.g(out.X) - out.Y) ** 2)
+            if self.loss_with_stopped:
+                loss = loss + masked_mean((problem.g(out.X) - out.Y) ** 2,
+                                          out.stopped)
+
+            aux["V_L2"] = jnp.mean(out.v_l2)
+            aux["K_count"] = out.active_count
+            aux["all_stopped"] = jnp.all(out.stopped)
+            aux["domain"] = loss - a1 * bound_l
+            return loss, aux
+
+        def step(params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_pinn_step(self):
+        problem = self.problem
+        geom = problem.geometry
+        Kb, K, d = self.K_boundary, self.K, self.d
+        a0, a1 = self.alpha[0], self.alpha[1]
+
+        def loss_fn(params, key):
+            kb, kd = jax.random.split(key)
+            v_fn = self._v_fn(params)
+            X = sample_domain(kd, geom, K, d,
+                              uniform_square=self.uniform_square)
+            resid = elliptic_pinn_residual(problem, v_fn, X,
+                                           self.full_hessian)
+            if self.PINN_log_variance:
+                dom = _unbiased_var(resid)
+            else:
+                dom = jnp.mean(resid ** 2)
+            loss = a0 * dom
+            bound_l = jnp.float32(0.0)
+            if self.boundary_loss and geom.bounded:
+                Xb = sample_boundary(kb, geom, Kb, d)
+                bound_l = jnp.mean((v_fn(Xb) - problem.g(Xb)) ** 2)
+                loss = loss + a1 * bound_l
+            v_l2 = jnp.mean((v_fn(X) - problem.v_ref(X)) ** 2) * self.delta_t
+            aux = {"boundary": bound_l, "domain": dom, "V_L2": v_l2,
+                   "K_count": jnp.float32(K),
+                   "all_stopped": jnp.bool_(True)}
+            return loss, aux
+
+        def step(params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_test_fn(self):
+        from ..eval.test_error import compute_test_error
+        net = self.V_net
+
+        @jax.jit
+        def fn(params, key):
+            v_fn = lambda X: net.apply(params, X)[:, 0]
+            return compute_test_error(v_fn, self.problem, self.K_test_log,
+                                      key, modus="elliptic")
+
+        return fn
+
+    # ------------------------------------------------------------------
+    def train(self):
+        if self._step is None:
+            self._step = (self._build_pinn_step()
+                          if self.loss_method == "PINN"
+                          else self._build_step())
+        if self.K_test_log is not None and self._test_fn is None:
+            self._test_fn = self._build_test_fn()
+
+        key = self._train_key
+        for l in range(self.L):
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, aux = self._step(
+                self.params, self.opt_state, sub)
+            aux = jax.device_get(aux)
+            self.loss_log.append(float(aux["loss"]))
+            self.V_L2_log.append(float(aux["V_L2"]))
+            self.K_log.append(float(aux["K_count"]))
+            if not bool(aux["all_stopped"]) and self.loss_method in (
+                    "BSDE", "BSDE-4"):
+                self.not_all_stopped_count += 1
+            if self.log_loss_parts:
+                self.loss_log_domain.append(float(aux["domain"]))
+                self.loss_log_boundary.append(float(aux["boundary"]))
+            if self.K_test_log is not None:
+                L2, mae, mre = jax.device_get(
+                    self._test_fn(self.params, jax.random.fold_in(sub, 7)))
+                self.V_test_L2.append(float(L2))
+                self.V_test_abs.append(float(mae))
+                self.V_test_rel_abs.append(float(mre))
+            self.times.append(time.time() - t0)
+            if self.verbose and l % self.print_every == 0:
+                print("%d - loss = %.4e, v L2 error = %.4e, %.2f"
+                      % (l, self.loss_log[-1], self.V_L2_log[-1],
+                         np.mean(self.times[-self.print_every:])))

@@ -1,0 +1,331 @@
+"""General space-time parabolic solver (TPU-native rebuild of
+``GeneralSolver``, solver.py:934-1323).
+
+Like EllipticSolver but the value net takes (x, t) (solver.py:980), start
+points are sampled uniformly in space AND t ~ U(0, T) (solver.py:1078),
+paths stop on spatial exit OR time-horizon exhaustion (solver.py:1131),
+and the loss adds a terminal condition (V(x, T) - f(x))^2 plus spatial
+boundary (Dirichlet/Neumann) penalties (solver.py:1062-1074).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import date
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ansatz import DenseNet
+from ..losses.pinn import parabolic_pinn_residual
+from ..rollout.sampling import inside_fn, sample_boundary, sample_domain
+from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+from .elliptic import masked_mean
+
+
+class GeneralSolver:
+    """Constructor kwargs mirror solver.py:936-940."""
+
+    def __init__(self, problem, name, seed=42, delta_t=0.01, N=50, lr=0.001,
+                 L=100000, K=200, K_boundary=50, alpha=(1.0, 1.0, 1.0),
+                 adaptive_forward_process=False, detach_forward=True,
+                 print_every=100, verbose=True, approx_method="Y",
+                 sample_center=False, loss_method="diffusion",
+                 loss_with_stopped=False, K_test_log=None,
+                 PINN_log_variance=False, log_loss_parts=False,
+                 boundary_loss=True, full_hessian=False,
+                 uniform_square=False, solve_linear_L2_projection=False,
+                 value_net=None, remat=None, mesh=None):
+        self.problem = problem
+        self.name = name
+        self.date = date.today().strftime("%Y-%m-%d")
+        self.d = problem.d
+        self.T = problem.T
+        self.seed = seed
+        self.delta_t = float(delta_t)
+        self.N = N
+        self.lr = lr
+        self.L = L
+        self.K = K
+        self.K_boundary = K_boundary
+        self.alpha = tuple(alpha)
+
+        self.adaptive_forward_process = adaptive_forward_process
+        self.detach_forward = detach_forward
+        self.approx_method = approx_method
+        self.sample_center = sample_center
+        self.loss_method = loss_method
+        self.loss_with_stopped = loss_with_stopped
+        self.boundary_loss = boundary_loss
+        self.PINN_log_variance = PINN_log_variance
+        self.full_hessian = full_hessian
+        self.uniform_square = uniform_square
+        self.solve_linear_L2_projection = solve_linear_L2_projection
+        self.print_every = print_every
+        self.verbose = verbose
+        self.log_loss_parts = log_loss_parts
+        self.mesh = mesh
+        self.remat = (N > 512) if remat is None else remat
+
+        key = jax.random.PRNGKey(seed)
+        k_net, self._train_key = jax.random.split(key)
+        self.V_net = value_net if value_net is not None else DenseNet(d_out=1)
+        self.params = self.V_net.init(k_net, jnp.zeros((1, self.d + 1)))
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+
+        self.K_test_log = K_test_log
+        self.loss_log = []
+        self.loss_log_domain = []
+        self.loss_log_boundary = []
+        self.V_L2_log = []
+        self.V_test_L2 = []
+        self.V_test_abs = []
+        self.V_test_rel_abs = []
+        self.K_log = []
+        self.times = []
+        self.not_all_stopped_count = 0
+
+        self._step = None
+        self._test_fn = None
+
+    # ------------------------------------------------------------------
+    def _v_xt(self, params):
+        """V evaluated on concatenated (x, t) input rows."""
+        return lambda XT: self.V_net.apply(params, XT)[:, 0]
+
+    def _v_fn(self, params):
+        def fn(X, t):
+            XT = jnp.concatenate([X, t[:, None]], axis=-1)
+            return self.V_net.apply(params, XT)[:, 0]
+        return fn
+
+    def _value_grad_fn(self):
+        sig = self.problem.sigma_struct
+        net = self.V_net
+
+        def fn(params, X, t):
+            def v_of_x(x):
+                xt = jnp.concatenate([x, t[:, None]], axis=-1)
+                return net.apply(params, xt)[:, 0]
+            V, pull = jax.vjp(v_of_x, X)
+            (gradX,) = pull(jnp.ones_like(V))
+            return V, sig.apply_T(gradX)
+
+        if self.solve_linear_L2_projection:
+            def fn_noz(params, X, t):
+                xt = jnp.concatenate([X, t[:, None]], axis=-1)
+                return net.apply(params, xt)[:, 0], jnp.zeros_like(X)
+            return fn_noz
+        return fn
+
+    def _rollout_cfg(self):
+        lm = self.loss_method
+        return StoppedRolloutConfig(
+            N=self.N, delta_t=self.delta_t,
+            adaptive_forward=self.adaptive_forward_process,
+            detach_forward=self.detach_forward,
+            recursive_y_in_h=lm in ("BSDE-2", "BSDE-4"),
+            step_loss=lm if lm in ("BSDE-2", "BSDE-3") else None,
+            time_stopping=True,
+            no_y_update=self.solve_linear_L2_projection,
+            remat=self.remat, alpha0=self.alpha[0],
+        )
+
+    def _spatial_boundary_loss(self, params, Xb, tb):
+        """Dirichlet (solver.py:1067) or Neumann (solver.py:1068-1074)."""
+        problem = self.problem
+        v_fn = self._v_fn(params)
+        if self.problem.boundary_type == "Dirichlet":
+            return jnp.mean((v_fn(Xb, tb) - problem.g(Xb, tb)) ** 2)
+        d = self.d
+        v_of_x = lambda x: v_fn(x, tb)
+        V, pull = jax.vjp(v_of_x, Xb)
+        (grad_V,) = pull(jnp.ones_like(V))
+        lhs = jnp.sum(grad_V * Xb, axis=-1)
+        rhs = jnp.sum(problem.g(Xb, tb) * Xb, axis=-1)
+        return jnp.mean((lhs - rhs) ** 2)
+
+    def _build_step(self):
+        problem = self.problem
+        geom = problem.geometry
+        lm = self.loss_method
+        cfg = self._rollout_cfg()
+        vg_fn = self._value_grad_fn()
+        ins = inside_fn(geom)
+        K, Kb, d = self.K, self.K_boundary, self.d
+        a0, a1, a2 = self.alpha
+        T = self.T
+        dt = self.delta_t
+
+        def loss_fn(params, key):
+            kb, kbt, kd, kt, kr = jax.random.split(key, 5)
+            v_fn = self._v_fn(params)
+            loss = jnp.float32(0.0)
+            aux = {}
+
+            X0 = sample_domain(kd, geom, K, d,
+                               uniform_square=self.uniform_square)
+            t0 = jax.random.uniform(kt, (K,)) * T
+
+            bound_l = jnp.float32(0.0)
+            if lm not in ("BSDE-4", "BSDE") and self.boundary_loss:
+                # terminal condition on the first K_boundary domain points
+                # (solver.py:1062-1064)
+                XT_x = X0[:Kb]
+                tT = jnp.full((Kb,), T)
+                loss = loss + a1 * jnp.mean(
+                    (v_fn(XT_x, tT) - problem.f_terminal(XT_x)) ** 2)
+                if geom.bounded:
+                    Xb = sample_boundary(kb, geom, Kb, d)
+                    tb = jax.random.uniform(kbt, (Kb,)) * T
+                    bound_l = self._spatial_boundary_loss(params, Xb, tb)
+                    loss = loss + a2 * bound_l
+            aux["boundary"] = bound_l
+
+            if lm in ("BSDE-2", "BSDE-4", "BSDE", "diffusion"):
+                Y0 = v_fn(X0, t0)
+            else:
+                Y0 = jnp.zeros((K,))
+
+            out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0, t0,
+                                  kr, ins)
+            loss = loss + out.step_loss
+
+            if lm == "diffusion":
+                loss = loss + a0 * jnp.mean((v_fn(out.X, out.t) - out.Y) ** 2)
+            if lm in ("BSDE-4", "BSDE"):
+                # terminal/boundary data at the stopping state
+                # (solver.py:1170-1183)
+                if not geom.bounded:
+                    loss = loss + jnp.mean(
+                        (out.Y - problem.f_terminal(out.X)) ** 2)
+                elif problem.boundary_type == "Dirichlet":
+                    loss = loss + jnp.mean(
+                        (out.Y - problem.g(out.X, out.t)) ** 2)
+                else:  # Neumann: split time-exhausted vs spatial exits
+                    at_T = out.t > (T - dt)
+                    loss = loss + masked_mean(
+                        (out.Y - problem.f_terminal(out.X)) ** 2, at_T)
+                    _, Z_end = vg_fn(params, out.X, out.t)
+                    grad_end = Z_end  # sigma^T grad; radial matching proxy
+                    lhs = jnp.sum(grad_end * out.X, axis=-1)
+                    rhs = jnp.sum(problem.g(out.X, out.t) * out.X, axis=-1)
+                    loss = loss + masked_mean((lhs - rhs) ** 2, ~at_T)
+            if self.loss_with_stopped:
+                loss = loss + masked_mean(
+                    (out.Y - problem.f_terminal(out.X)) ** 2, out.stopped)
+
+            aux["V_L2"] = jnp.mean(out.v_l2)
+            aux["K_count"] = out.active_count
+            aux["all_stopped"] = jnp.all(out.stopped)
+            aux["domain"] = loss - a2 * bound_l
+            return loss, aux
+
+        def step(params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_pinn_step(self):
+        problem = self.problem
+        geom = problem.geometry
+        K, Kb, d = self.K, self.K_boundary, self.d
+        a0, a1, a2 = self.alpha
+        T = self.T
+
+        def loss_fn(params, key):
+            kb, kbt, kd, kt = jax.random.split(key, 4)
+            v_xt = self._v_xt(params)
+            v_fn = self._v_fn(params)
+            X = sample_domain(kd, geom, K, d,
+                              uniform_square=self.uniform_square)
+            t = jax.random.uniform(kt, (K,)) * T
+            resid = parabolic_pinn_residual(problem, v_xt, X, t,
+                                            self.full_hessian)
+            if self.PINN_log_variance:
+                n = resid.shape[0]
+                dom = jnp.var(resid) * n / max(n - 1, 1)
+            else:
+                dom = jnp.mean(resid ** 2)
+            loss = a0 * dom
+            bound_l = jnp.float32(0.0)
+            if self.boundary_loss:
+                tT = jnp.full((Kb,), T)
+                loss = loss + a1 * jnp.mean(
+                    (v_fn(X[:Kb], tT) - problem.f_terminal(X[:Kb])) ** 2)
+                if geom.bounded:
+                    Xb = sample_boundary(kb, geom, Kb, d)
+                    tb = jax.random.uniform(kbt, (Kb,)) * T
+                    bound_l = self._spatial_boundary_loss(params, Xb, tb)
+                    loss = loss + a2 * bound_l
+            aux = {"boundary": bound_l, "domain": dom,
+                   "V_L2": jnp.float32(0.0), "K_count": jnp.float32(K),
+                   "all_stopped": jnp.bool_(True)}
+            return loss, aux
+
+        def step(params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_test_fn(self):
+        from ..eval.test_error import compute_test_error
+        net = self.V_net
+
+        @jax.jit
+        def fn(params, key):
+            v_fn = lambda XT: net.apply(params, XT)[:, 0]
+            return compute_test_error(v_fn, self.problem, self.K_test_log,
+                                      key, modus="parabolic")
+
+        return fn
+
+    # ------------------------------------------------------------------
+    def train(self):
+        if self._step is None:
+            self._step = (self._build_pinn_step()
+                          if self.loss_method == "PINN"
+                          else self._build_step())
+        if self.K_test_log is not None and self._test_fn is None:
+            self._test_fn = self._build_test_fn()
+
+        key = self._train_key
+        for l in range(self.L):
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, aux = self._step(
+                self.params, self.opt_state, sub)
+            aux = jax.device_get(aux)
+            self.loss_log.append(float(aux["loss"]))
+            self.V_L2_log.append(float(aux["V_L2"]))
+            self.K_log.append(float(aux["K_count"]))
+            if not bool(aux["all_stopped"]) and self.loss_method in (
+                    "BSDE", "BSDE-4"):
+                self.not_all_stopped_count += 1
+            if self.log_loss_parts:
+                self.loss_log_domain.append(float(aux["domain"]))
+                self.loss_log_boundary.append(float(aux["boundary"]))
+            if self.K_test_log is not None:
+                L2, mae, mre = jax.device_get(
+                    self._test_fn(self.params, jax.random.fold_in(sub, 7)))
+                self.V_test_L2.append(float(L2))
+                self.V_test_abs.append(float(mae))
+                self.V_test_rel_abs.append(float(mre))
+            self.times.append(time.time() - t0)
+            if self.verbose and l % self.print_every == 0:
+                print("%d - loss = %.4e, v L2 error = %.4e, %.2f"
+                      % (l, self.loss_log[-1], self.V_L2_log[-1],
+                         np.mean(self.times[-self.print_every:])))

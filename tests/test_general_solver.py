@@ -1,0 +1,78 @@
+"""General (space-time) solver tests: heat equation, manufactured
+parabolic problems, Allen-Cahn smoke."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pspde.problems import (AllenCahn, ExponentialOnSphereNonlinearParabolic,
+                            ExponentialOnSphereParabolic, HeatEquation)
+from pspde.solvers import GeneralSolver
+
+
+def _train(problem, method, L=300, **kw):
+    defaults = dict(seed=42, delta_t=0.01, N=20, lr=3e-3, K=256,
+                    K_boundary=64, verbose=False, print_every=10**6)
+    defaults.update(kw)
+    s = GeneralSolver(problem, method, loss_method=method, L=L, **defaults)
+    s.train()
+    return s
+
+
+def test_heat_equation_diffusion_converges():
+    # fine delta_t matters: the diffusion loss has a bias-variance tradeoff
+    # at coarse dt (quadratic-variation noise rewards flattened V) — the
+    # reference's configs all use delta_t ~ 1e-3 for this reason
+    p = HeatEquation(d=3, T=0.1)
+    s = _train(p, "diffusion", L=800, lr=1e-2, delta_t=2e-3, N=50,
+               K=512, K_boundary=128, K_test_log=2048)
+    assert s.V_test_L2[-1] < 0.05
+    assert s.V_test_L2[-1] < 0.05 * s.V_test_L2[0]
+
+
+def test_parabolic_manufactured_diffusion():
+    p = ExponentialOnSphereParabolic(d=3, T=0.5, alpha=0.5)
+    s = _train(p, "diffusion", L=500, K_test_log=2048)
+    assert s.V_test_L2[-1] < 0.05
+
+
+def test_parabolic_pinn():
+    p = ExponentialOnSphereParabolic(d=2, T=0.5, alpha=0.5)
+    s = _train(p, "PINN", L=400, K_test_log=2048)
+    assert s.V_test_L2[-1] < 0.05
+
+
+def test_parabolic_neumann_runs():
+    p = ExponentialOnSphereNonlinearParabolic(d=3, T=0.5, alpha=0.5)
+    p.boundary_type = "Neumann"
+    s = _train(p, "diffusion", L=150)
+    assert np.isfinite(s.loss_log[-1])
+    assert s.loss_log[-1] < s.loss_log[0]
+
+
+@pytest.mark.parametrize("method", ["BSDE", "BSDE-2"])
+def test_parabolic_bsde_runs(method):
+    p = HeatEquation(d=2, T=0.2)
+    s = _train(p, method, L=150, N=25)
+    assert np.isfinite(s.loss_log[-1])
+    assert s.loss_log[-1] < s.loss_log[0]
+
+
+def test_allen_cahn_smoke():
+    """d=100 Allen-Cahn, the reference's flagship benchmark config
+    (N=25, K=200, delta_t=1e-3, Allen-Cahn.ipynb cell 3) — short run,
+    check v(0, 0) heads toward the literature value 0.052802."""
+    p = AllenCahn(d=20, T=0.3)
+    s = _train(p, "diffusion", L=400, delta_t=1e-3, N=25, lr=1e-2, K=256)
+    v0 = float(s._v_fn(s.params)(jnp.zeros((1, 20)),
+                                 jnp.zeros((1,)))[0])
+    assert np.isfinite(s.loss_log[-1])
+    assert s.loss_log[-1] < s.loss_log[0]
+    # loose sanity: the value at the origin is in the right ballpark
+    assert -0.5 < v0 < 1.0
+
+
+def test_solve_linear_l2_projection_runs():
+    p = HeatEquation(d=2, T=0.2)
+    s = _train(p, "diffusion", L=100, solve_linear_L2_projection=True)
+    assert np.isfinite(s.loss_log[-1])
