@@ -78,10 +78,13 @@ class DenseNet(nn.Module):
 
 
 class DenseNetTanh(nn.Module):
-    """Concat-skip net with tanh hidden features (function_space.py:143-158)."""
+    """Concat-skip net with tanh hidden features (function_space.py:143-158).
+    ``output_relu`` covers the notebook ``DenseNet_2`` variant used for
+    nonnegative eigenfunctions (Schroedinger notebook cell 4)."""
 
     d_out: int
     arch: Sequence[int] = (30, 30)
+    output_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -89,7 +92,10 @@ class DenseNetTanh(nn.Module):
         for width in self.arch:
             h = nn.Dense(width)(feats)
             feats = jnp.concatenate([feats, jnp.tanh(h)], axis=-1)
-        return nn.Dense(self.d_out)(feats)
+        out = nn.Dense(self.d_out)(feats)
+        if self.output_relu:
+            out = nn.relu(out)
+        return out
 
 
 class DenseNetTanh2(nn.Module):

@@ -1,3 +1,10 @@
+from .estimator_stats import loss_estimator_statistics, relative_error
+from .gradient_variance import gradient_variances
 from .importance_sampling import (do_importance_sampling,
                                   do_importance_sampling_me,
                                   importance_sampling)
+from .plotting import (load_exp_logs, plot_control_for_DoubleWell1d,
+                       plot_loss_logs, plot_loss_logs_extended,
+                       plot_moving_average, plot_path_ensemble,
+                       plot_solution, save_exp_logs)
+from .test_error import compute_test_error

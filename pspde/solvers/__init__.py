@@ -1,3 +1,4 @@
+from .eigen import EigenSolver
 from .elliptic import EllipticSolver
 from .general import GeneralSolver
 from .hjb import HJBSolver

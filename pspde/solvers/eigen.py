@@ -1,0 +1,227 @@
+"""Eigenvalue solver: elliptic-diffusion loop with a learnable eigenvalue.
+
+First-class rebuild of the inline training loops of
+"Eigenvalue - Fokker-Planck.ipynb" (cell 4) and
+"Eigenvalue - nonlinear Schroedinger equation, d = 5/10.ipynb" (cell 7):
+
+  * the Y recursion carries an extra ``- lambda * V`` term (the learnable
+    eigenvalue, a ScalarParam like the notebooks' ``SingleParam``),
+  * periodic boundary conditions on [X_l, X_r]^d are enforced by value AND
+    gradient matching between opposite faces,
+  * the domain loss is ``mean((V(X_end) - V(X_0) - Y)^2)``,
+  * degenerate solutions are excluded either by center pinning against the
+    known normalization (FP mode) or by an L2-normalization penalty
+    ``(E[V^2] - 1)^2`` plus a "hat function" barrier around V = 0
+    (Schroedinger mode, notebook cells 2 and 7).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import date
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ansatz import DenseNet, ScalarParam
+from ..rollout.sampling import (inside_fn, sample_boundary_reflected,
+                                sample_domain)
+from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+
+
+def hat_function(x):
+    """exp(-200 x^2) on (-0.2, 0.2) — barrier pushing E[V^2] away from 0
+    (Schroedinger notebook cell 2)."""
+    return jnp.exp(-200.0 * x ** 2) * ((x > -0.2) & (x < 0.2))
+
+
+class _LambdaShiftedProblem:
+    """Problem shim adding the eigenvalue term: h_eff = h + lambda * y, so
+    the rollout's -h_eff matches the notebooks' (-h - lambda V)."""
+
+    def __init__(self, problem, lam):
+        self._p = problem
+        self._lam = lam
+        self.T = None  # elliptic h signature
+        self.sigma_struct = problem.sigma_struct
+
+    def b(self, x):
+        return self._p.b(x)
+
+    def h(self, x, y, z):
+        return self._p.h(x, y, z) + self._lam * y
+
+
+class EigenSolver:
+    """normalization: 'center' (FP notebook: pin V at X_0 to the known
+    eigenfunction value) or 'l2_penalty' (Schroedinger notebooks:
+    (E[V^2]-1)^2 penalty + hat barrier)."""
+
+    def __init__(self, problem, name, seed=42, delta_t=1e-3, N=20, lr=0.001,
+                 lr_lambda=None, lambda_init=0.5, L=100000, K=500,
+                 K_boundary=50, alpha=(50.0, 1.0),
+                 normalization="center", norm_penalty_weight=0.01,
+                 hat_weight=1.0, adaptive_forward_process=False,
+                 detach_forward=True, print_every=100, verbose=True,
+                 value_net=None, remat=None):
+        self.problem = problem
+        self.name = name
+        self.date = date.today().strftime("%Y-%m-%d")
+        self.d = problem.d
+        self.seed = seed
+        self.delta_t = float(delta_t)
+        self.N = N
+        self.lr = lr
+        self.lr_lambda = lr if lr_lambda is None else lr_lambda
+        self.L = L
+        self.K = K
+        self.K_boundary = K_boundary
+        self.alpha = tuple(alpha)
+        self.normalization = normalization
+        self.norm_penalty_weight = norm_penalty_weight
+        self.hat_weight = hat_weight
+        self.adaptive_forward_process = adaptive_forward_process
+        self.detach_forward = detach_forward
+        self.print_every = print_every
+        self.verbose = verbose
+        self.remat = (N > 512) if remat is None else remat
+
+        key = jax.random.PRNGKey(seed)
+        k_net, k_lam, self._train_key = jax.random.split(key, 3)
+        if value_net is None:
+            # FP notebook cell 1: DenseNet with relu output clamp
+            value_net = DenseNet(d_out=1, arch=(10, 10, 10, 10),
+                                 bias_init_value=0.8, output_relu=True)
+        self.V_net = value_net
+        self.lam_net = ScalarParam(initial=float(lambda_init))
+        self.params = {
+            "V": self.V_net.init(k_net, jnp.zeros((1, self.d))),
+            "lam": self.lam_net.init(k_lam, jnp.zeros((1, 1))),
+        }
+        if self.lr_lambda != self.lr:
+            self.tx = optax.multi_transform(
+                {"V": optax.adam(self.lr), "lam": optax.adam(self.lr_lambda)},
+                {"V": "V", "lam": "lam"})
+        else:
+            self.tx = optax.adam(self.lr)
+        self.opt_state = self.tx.init(self.params)
+
+        self.loss_log = []
+        self.loss_log_boundary = []
+        self.loss_log_derivative_boundary = []
+        self.loss_log_domain = []
+        self.loss_log_center = []
+        self.V_L2_log = []
+        self.lambda_log = []
+        self.times = []
+        self._step = None
+
+    # ------------------------------------------------------------------
+    def _v_fn(self, params):
+        return lambda X: self.V_net.apply(params["V"], X)[:, 0]
+
+    def lam(self, params=None):
+        params = self.params if params is None else params
+        return self.lam_net.apply(params["lam"], jnp.zeros((1, 1)))[0]
+
+    def _build_step(self):
+        problem = self.problem
+        geom = problem.geometry
+        K, Kb, d = self.K, self.K_boundary, self.d
+        a0, a1 = self.alpha
+        sig = problem.sigma_struct
+        ins = inside_fn(geom)
+        net = self.V_net
+        cfg = StoppedRolloutConfig(
+            N=self.N, delta_t=self.delta_t,
+            adaptive_forward=self.adaptive_forward_process,
+            detach_forward=self.detach_forward, remat=self.remat)
+
+        def loss_fn(params, key):
+            kb, kd, kr, kn = jax.random.split(key, 4)
+            v_fn = self._v_fn(params)
+            lam = self.lam(params)
+            aux = {"lambda": lam}
+            loss = jnp.float32(0.0)
+
+            if self.normalization == "center":
+                Xc = problem.X_0[None, :]
+                center_l = jnp.mean((v_fn(Xc) - problem.v_ref(Xc)) ** 2)
+                loss = loss + center_l
+            else:
+                X2 = sample_domain(kn, geom, K, d)
+                m2 = jnp.mean(v_fn(X2) ** 2)
+                loss = loss + self.hat_weight * hat_function(m2)
+                center_l = self.norm_penalty_weight * (m2 - 1.0) ** 2
+                loss = loss + center_l
+            aux["center"] = center_l
+
+            # periodic BCs: value + gradient matching on opposite faces
+            Xb, Xb_r = sample_boundary_reflected(kb, geom, Kb, d)
+            bound_l = jnp.mean((v_fn(Xb) - v_fn(Xb_r)) ** 2)
+            loss = loss + a1 * bound_l
+            aux["boundary"] = bound_l
+            gb, pull = jax.vjp(v_fn, Xb)
+            (grad_b,) = pull(jnp.ones_like(gb))
+            gr, pull_r = jax.vjp(v_fn, Xb_r)
+            (grad_r,) = pull_r(jnp.ones_like(gr))
+            dbound_l = jnp.mean((grad_b - grad_r) ** 2)
+            loss = loss + a1 * dbound_l
+            aux["dboundary"] = dbound_l
+
+            X0 = sample_domain(kd, geom, K, d)
+            phi_0 = v_fn(X0)
+            shifted = _LambdaShiftedProblem(problem, lam)
+
+            def vg_fn(p, X, t):
+                v_of_x = lambda x: net.apply(p["V"], x)[:, 0]
+                V, pull = jax.vjp(v_of_x, X)
+                (gradX,) = pull(jnp.ones_like(V))
+                return V, sig.apply_T(gradX)
+
+            out = stopped_rollout(cfg, shifted, vg_fn, params, X0,
+                                  jnp.zeros((K,)), jnp.zeros((K,)), kr, ins,
+                                  v_ref=getattr(problem, "v_ref", None))
+            dom_l = jnp.mean((v_fn(out.X) - phi_0 - out.Y) ** 2)
+            loss = loss + a0 * dom_l
+            aux["domain"] = dom_l
+            aux["V_L2"] = jnp.mean(out.v_l2)
+            return loss, aux
+
+        def step(params, opt_state, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, key)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        if self._step is None:
+            self._step = self._build_step()
+        key = self._train_key
+        for l in range(self.L):
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, aux = self._step(
+                self.params, self.opt_state, sub)
+            aux = jax.device_get(aux)
+            self.loss_log.append(float(aux["loss"]))
+            self.loss_log_center.append(float(aux["center"]))
+            self.loss_log_boundary.append(float(aux["boundary"]))
+            self.loss_log_derivative_boundary.append(float(aux["dboundary"]))
+            self.loss_log_domain.append(float(aux["domain"]))
+            self.V_L2_log.append(float(aux["V_L2"]))
+            self.lambda_log.append(float(aux["lambda"]))
+            self.times.append(time.time() - t0)
+            if self.verbose and l % self.print_every == 0:
+                print("%d - loss = %.4e, v L2 error = %.4e, "
+                      "lambda = %.4e, %.2f"
+                      % (l, self.loss_log[-1], self.V_L2_log[-1],
+                         self.lambda_log[-1],
+                         np.mean(self.times[-self.print_every:])))

@@ -61,9 +61,11 @@ class HJBSolver:
                  time_approx="outer", learn_Y_0=False,
                  adaptive_forward_process=True, detach_forward=False,
                  early_stopping_time=10000, random_X_0=False,
+                 compute_gradient_variance=0,
                  IS_variance_K=0, IS_variance_iter=1,
                  metastability_logs=None, print_every=100, seed=42,
                  save_results=False, u_l2_error_flag=True,
+                 log_gradient=False,
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32):
@@ -107,6 +109,8 @@ class HJBSolver:
         self.IS_variance_K = IS_variance_K
         self.IS_variance_iter = IS_variance_iter
         self.metastability_logs = metastability_logs
+        self.compute_gradient_variance = compute_gradient_variance
+        self.log_gradient = log_gradient
         self.mesh = mesh
         self.remat = (self.N > 512) if remat is None else remat
 
@@ -173,6 +177,8 @@ class HJBSolver:
         self.IS_rel_log = []
         self.times = []
         self.particles_close_to_target = []
+        self.grads_rel_error_log = []
+        self.gradient_log = []
 
         self._step_fns = {}
 
@@ -330,6 +336,10 @@ class HJBSolver:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = {"loss": loss, "u_l2": aux["u_l2"]}
+            if self.log_gradient:
+                gz = grads.get("z", grads.get("y"))
+                metrics["grad_flat"] = jnp.concatenate(
+                    [jnp.reshape(l, (-1,)) for l in jax.tree.leaves(gz)])
 
             class _Out:
                 X = aux["X"]
@@ -374,6 +384,15 @@ class HJBSolver:
             if "meta_frac" in metrics:
                 self.particles_close_to_target.append(
                     float(metrics["meta_frac"]))
+            if self.log_gradient and "grad_flat" in metrics:
+                self.gradient_log.append(np.asarray(metrics["grad_flat"]))
+
+            if (self.compute_gradient_variance > 0
+                    and l % self.compute_gradient_variance == 0):
+                from ..eval.gradient_variance import gradient_variances
+                rel = gradient_variances(self, jax.random.fold_in(sub, 3))
+                self.grads_rel_error_log.append(
+                    float(jnp.mean(jnp.abs(rel))))
 
             if self.IS_variance_K > 0 and l % self.IS_variance_iter == 0:
                 from ..eval.importance_sampling import importance_sampling
