@@ -70,15 +70,29 @@ def parabolic_log_transform_reference(
     Dv_inv = np.exp(-beta * V(xvec) / 2.0)
 
     # banded form of (I - dt A): ab[0] upper, ab[1] main, ab[2] lower
-    ab = np.zeros((3, nx))
-    ab[0, 1:] = -delta_t * off
-    ab[1, :] = 1.0 - delta_t * diag
-    ab[2, :-1] = -delta_t * off
+    off_scaled = -delta_t * off
+    diag_scaled = 1.0 - delta_t * diag
+    psi_T = np.exp(-g(xvec))
 
-    psi = np.zeros((N + 1, nx))
-    psi[N] = np.exp(-g(xvec))
-    for n in range(N - 1, -1, -1):
-        psi[n] = Dv * solve_banded((1, 1), ab, Dv_inv * psi[n + 1])
+    psi = None
+    try:
+        from ..native import fd_native
+        if fd_native.available():
+            # native C++ sweep with the tridiagonal factorization hoisted
+            # out of the time loop
+            psi = fd_native.backward_euler_sweep(off_scaled, diag_scaled,
+                                                 Dv, Dv_inv, psi_T, N)
+    except Exception:
+        psi = None
+    if psi is None:
+        ab = np.zeros((3, nx))
+        ab[0, 1:] = off_scaled
+        ab[1, :] = diag_scaled
+        ab[2, :-1] = off_scaled
+        psi = np.zeros((N + 1, nx))
+        psi[N] = psi_T
+        for n in range(N - 1, -1, -1):
+            psi[n] = Dv * solve_banded((1, 1), ab, Dv_inv * psi[n + 1])
 
     logpsi = np.log(np.maximum(psi, 1e-300))
     u = -(2.0 / beta) * B00 * (logpsi[:, :-1] - logpsi[:, 1:]) / dx
@@ -132,7 +146,15 @@ def elliptic_generator_reference(
     L[Nx - 1, Nx - 1], L[Nx - 1, Nx - 2] = 1.0, -1.0
     d[Nx - 1] = 0.0
 
-    psi = np.linalg.solve(L, d)
+    psi = None
+    try:
+        from ..native import fd_native
+        if fd_native.available():
+            psi = fd_native.dense_solve(L, d)
+    except Exception:
+        psi = None
+    if psi is None:
+        psi = np.linalg.solve(L, d)
     with np.errstate(divide="ignore", invalid="ignore"):
         u = sigma * (np.log(psi[1:]) - np.log(psi[:-1])) / dx
     return x_val, psi, u
