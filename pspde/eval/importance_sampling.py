@@ -157,6 +157,34 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
     return float(mean_IS), float(var_IS), float(rel_IS)
 
 
+def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
+                              seed: int = 0, tile: int = 2048,
+                              interpret: bool = False, verbose: bool = False):
+    """Importance-sampling diagnostics on the fused Pallas rollout kernel:
+    the whole N-step controlled simulation runs inside one TPU kernel with
+    VMEM-resident state (rollout/kernels.py).  Only 'inner' (time-concat)
+    controls; returns (mean_IS, var_IS, rel_IS)."""
+    assert model.time_approx == "inner", "fused IS requires 'inner' control"
+    from ..rollout.kernels import fused_controlled_rollout
+    N = int(np.ceil(problem.T / delta_t))
+    leaves, treedef = jax.tree.flatten(model.params["z"])
+    net = model.z_net
+
+    def u_apply(leaves_t, tX):
+        prm = jax.tree.unflatten(treedef, list(leaves_t))
+        return -net.apply(prm, tX)
+
+    out = fused_controlled_rollout(problem, u_apply, tuple(leaves), K, N,
+                                   delta_t, seed=seed, tile=tile,
+                                   interpret=interpret)
+    logw = (-out.f_int - problem.g(out.X) - out.ito - 0.5 * out.riemann)
+    mean_IS, var_IS, rel_IS = jax.device_get(_stats_from_logw(logw))
+    if verbose:
+        print("IS mean: %.4e, IS variance: %.4e, IS RE %.4e"
+              % (mean_IS, var_IS, rel_IS))
+    return float(mean_IS), float(var_IS), float(rel_IS)
+
+
 # Reference-name aliases
 do_importance_sampling_me = importance_sampling
 

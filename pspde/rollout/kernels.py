@@ -1,0 +1,238 @@
+"""Pallas TPU kernels for the SDE rollout hot paths.
+
+``fused_controlled_rollout`` runs the ENTIRE N-step controlled
+Euler-Maruyama simulation inside one Pallas kernel: the (K_tile, d) path
+state, the control-network weights and the Ito/Riemann accumulators stay
+resident in VMEM for all N steps, so the loop performs zero HBM traffic
+(the XLA scan implementation round-trips the carry through HBM every
+step).  Noise is generated in-kernel with the TPU PRNG
+(pltpu.prng_random_bits) and a Box-Muller transform.
+
+This is the "serve" path of the framework — the importance-sampling
+application of a learned control (utilities.py:287-359 in the reference,
+where it is an eager Python loop over torch ops) — and the forward pass
+of training-free diagnostics.  Grid = K tiles; each program integrates
+its tile through all N steps.
+
+Supported: any state-independent sigma and any drift / control
+expressible in jnp ops (they trace into the kernel; closed-over arrays
+are hoisted to kernel inputs automatically).  Falls back to a jnp
+``lax.scan`` on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+class ISRolloutOut(NamedTuple):
+    X: jnp.ndarray       # (K, d) final controlled state
+    ito: jnp.ndarray     # (K,) int u . dW
+    riemann: jnp.ndarray  # (K,) int |u|^2 dt
+    f_int: jnp.ndarray   # (K,) int f dt along the controlled path
+
+
+def _normals_from_bits(shape):
+    """Box-Muller on TPU PRNG bits -> standard normals of ``shape``."""
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    # uniforms in (0, 1): set exponent to [1, 2) then subtract 1
+    u1 = pltpu.bitcast((bits1 >> 9) | jnp.uint32(0x3F800000),
+                       jnp.float32) - 1.0
+    u2 = pltpu.bitcast((bits2 >> 9) | jnp.uint32(0x3F800000),
+                       jnp.float32) - 1.0
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1 + 1e-12))
+    return r * jnp.cos(2.0 * np.pi * u2)
+
+
+def fused_controlled_rollout(
+    problem,
+    u_apply: Callable,        # (param_leaves_tuple, tX (K, d+1)) -> u (K, d)
+    param_leaves,             # tuple of jnp arrays (control net weights)
+    K: int,
+    N: int,
+    delta_t: float,
+    seed: int,
+    with_f: bool = True,
+    tile: int = 1024,
+    interpret: bool = False,
+    host_noise: "jnp.ndarray | None" = None,  # (N, K, d): test/CPU mode
+) -> ISRolloutOut:
+    """Simulate dX_u = (b(X_u) + sigma u) dt + sigma dW with
+    u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals."""
+    d = problem.d
+    sig = problem.sigma_struct
+    dt = np.float32(delta_t)
+    sq_dt = np.float32(np.sqrt(delta_t))
+    n_tiles = pl.cdiv(K, tile)
+
+    def f_eval(x, t):
+        if not with_f:
+            return jnp.zeros((x.shape[0],), dtype=jnp.float32)
+        f = getattr(problem, "f", None)
+        if f is None:
+            return jnp.zeros((x.shape[0],), dtype=jnp.float32)
+        try:
+            return f(x, t)
+        except TypeError:
+            return f(x)
+
+    # One fused EM step as a pure function; closure_convert hoists every
+    # array the problem/ansatz closes over (drift matrices, sigma
+    # diagonals, X_0, ...) into explicit kernel inputs, which Pallas
+    # requires.
+    def step_math(X, t, xi, *params):
+        tX = jnp.concatenate(
+            [jnp.full((X.shape[0], 1), 0.0, jnp.float32) + t, X], axis=1)
+        u = u_apply(tuple(params), tX)
+        X_new = (X + (problem.b(X) + sig.apply(u)) * dt
+                 + sig.apply(xi) * sq_dt)
+        fv = f_eval(X_new, t)
+        return X_new, u, fv
+
+    # Hoist every array constant the problem/ansatz closes over into
+    # explicit kernel inputs: trace the step to a jaxpr, turn its
+    # constvars into invars (closure_convert only hoists tracers, not
+    # literal jnp constants, so it misses e.g. drift matrices).
+    from jax.extend.core import ClosedJaxpr, jaxpr_as_fun
+
+    X_ex = jax.ShapeDtypeStruct((tile, d), jnp.float32)
+    t_ex = jax.ShapeDtypeStruct((), jnp.float32)
+    cj = jax.make_jaxpr(step_math)(X_ex, t_ex, X_ex, *param_leaves)
+    consts = [jnp.asarray(c) for c in cj.consts]
+    open_jaxpr = cj.jaxpr.replace(
+        invars=list(cj.jaxpr.constvars) + list(cj.jaxpr.invars),
+        constvars=[])
+    step_open = jaxpr_as_fun(ClosedJaxpr(open_jaxpr, ()))
+
+    def step_closed(X, t, xi, *extra):
+        cvals = extra[len(param_leaves):]
+        pvals = extra[:len(param_leaves)]
+        return step_open(*cvals, X, t, xi, *pvals)
+
+    inputs = list(param_leaves) + list(consts) + [
+        problem.X_0.astype(jnp.float32)[None, :]]
+    n_in = len(inputs)
+
+    use_host_noise = host_noise is not None
+    if use_host_noise:
+        pad = n_tiles * tile - K
+        hn = jnp.pad(jnp.asarray(host_noise, dtype=jnp.float32),
+                     ((0, 0), (0, pad), (0, 0)))
+        inputs = inputs + [hn]
+
+    def kernel(seed_ref, *refs):
+        in_refs = refs[:n_in]
+        if use_host_noise:
+            noise_ref = refs[n_in]
+            x_ref, ito_ref, riem_ref, fint_ref = refs[n_in + 1:]
+        else:
+            noise_ref = None
+            x_ref, ito_ref, riem_ref, fint_ref = refs[n_in:]
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        extra = tuple(r[:] for r in in_refs[:-1])
+
+        x_ref[:] = jnp.broadcast_to(in_refs[-1][:], (tile, d))
+        ito_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
+        riem_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
+        fint_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
+
+        def body(n, _):
+            t = n.astype(jnp.float32) * dt
+            X = x_ref[:]
+            if use_host_noise:
+                xi = noise_ref[n]
+            else:
+                xi = _normals_from_bits((tile, d))
+            X_new, u, fv = step_closed(X, t, xi, *extra)
+            x_ref[:] = X_new
+            ito_ref[:] += jnp.sum(u * xi, axis=-1, keepdims=True) * sq_dt
+            riem_ref[:] += jnp.sum(u * u, axis=-1, keepdims=True) * dt
+            fint_ref[:] += fv[:, None] * dt
+            return 0
+
+        lax.fori_loop(0, N, body, 0)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)
+                for _ in range(n_in)]
+    if use_host_noise:
+        in_specs.append(pl.BlockSpec((N, tile, d), lambda i, *_: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((tile, s[1]), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for s in ((tile, d), (tile, 1), (tile, 1), (tile, 1))),
+    )
+    X, ito, riem, fint = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(jnp.asarray([seed], dtype=jnp.int32), *inputs)
+    return ISRolloutOut(X[:K], ito[:K, 0], riem[:K, 0], fint[:K, 0])
+
+
+def reference_controlled_rollout(problem, u_apply, param_leaves, K, N,
+                                 delta_t, key, with_f=True,
+                                 host_noise=None):
+    """jnp lax.scan fallback with identical semantics (different RNG)."""
+    d = problem.d
+    sig = problem.sigma_struct
+    dt = jnp.float32(delta_t)
+    sq_dt = jnp.sqrt(dt)
+    X0 = jnp.broadcast_to(problem.X_0, (K, d)).astype(jnp.float32)
+
+    def f_eval(x, t):
+        if not with_f:
+            return jnp.zeros((x.shape[0],), dtype=jnp.float32)
+        f = getattr(problem, "f", None)
+        if f is None:
+            return jnp.zeros((x.shape[0],), dtype=jnp.float32)
+        try:
+            return f(x, t)
+        except TypeError:
+            return f(x)
+
+    def step(carry, n):
+        X, ito, riem, fint = carry
+        t = n.astype(jnp.float32) * dt
+        if host_noise is not None:
+            xi = jnp.asarray(host_noise, dtype=jnp.float32)[n]
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d))
+        tX = jnp.concatenate(
+            [jnp.full((K, 1), 0.0, jnp.float32) + t, X], axis=1)
+        u = u_apply(tuple(param_leaves), tX)
+        X = X + (problem.b(X) + sig.apply(u)) * dt + sig.apply(xi) * sq_dt
+        ito = ito + jnp.sum(u * xi, axis=-1) * sq_dt
+        riem = riem + jnp.sum(u * u, axis=-1) * dt
+        fint = fint + f_eval(X, t) * dt
+        return (X, ito, riem, fint), None
+
+    zeros = jnp.zeros((K,), dtype=jnp.float32)
+    (X, ito, riem, fint), _ = lax.scan(
+        step, (X0, zeros, zeros, zeros), jnp.arange(N))
+    return ISRolloutOut(X, ito, riem, fint)

@@ -1,0 +1,100 @@
+"""Pallas fused-rollout kernel tests (interpret mode on CPU, identical
+host noise => exact agreement with the lax.scan reference path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pspde.problems import LLGC, DoubleWell
+from pspde.rollout.kernels import (fused_controlled_rollout,
+                                   reference_controlled_rollout)
+
+
+def _linear_control(d, key):
+    W = 0.1 * jax.random.normal(key, (d + 1, d))
+
+    def u_apply(params, tX):
+        return jnp.dot(tX, params[0], preferred_element_type=jnp.float32)
+
+    return u_apply, (W,)
+
+
+@pytest.mark.parametrize("off_diag", [0.0, 0.1])
+def test_fused_matches_scan_exactly(key, off_diag):
+    d, K, N, dt = 4, 1024, 40, 0.02
+    p = LLGC(d=d, T=1.0, off_diag=off_diag)
+    u_apply, leaves = _linear_control(d, key)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (N, K, d))
+    out = fused_controlled_rollout(p, u_apply, leaves, K, N, dt, seed=3,
+                                   tile=512, interpret=True,
+                                   host_noise=noise)
+    ref = reference_controlled_rollout(p, u_apply, leaves, K, N, dt, key,
+                                       host_noise=noise)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.ito), np.asarray(ref.ito),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.riemann),
+                               np.asarray(ref.riemann), atol=2e-5)
+
+
+def test_fused_nonlinear_drift(key):
+    """Double-well drift (cubic, closed-over scalars) traces into the
+    kernel correctly."""
+    p = DoubleWell(d=1, T=0.5, eta=1.0, kappa=2.0)
+    u_apply, leaves = _linear_control(1, key)
+    K, N, dt = 512, 25, 0.02
+    noise = jax.random.normal(jax.random.fold_in(key, 2), (N, K, 1))
+    out = fused_controlled_rollout(p, u_apply, leaves, K, N, dt, seed=1,
+                                   tile=256, interpret=True,
+                                   host_noise=noise)
+    ref = reference_controlled_rollout(p, u_apply, leaves, K, N, dt, key,
+                                       host_noise=noise)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               atol=2e-5)
+
+
+def test_fused_nondivisible_K(key):
+    """K not a multiple of the tile: padded grid, truncated outputs."""
+    p = LLGC(d=2, T=0.5)
+    u_apply, leaves = _linear_control(2, key)
+    K, N, dt = 700, 10, 0.05
+    noise = jax.random.normal(key, (N, K, 2))
+    out = fused_controlled_rollout(p, u_apply, leaves, K, N, dt, seed=1,
+                                   tile=512, interpret=True,
+                                   host_noise=noise)
+    assert out.X.shape == (700, 2)
+    ref = reference_controlled_rollout(p, u_apply, leaves, K, N, dt, key,
+                                       host_noise=noise)
+    np.testing.assert_allclose(np.asarray(out.X[:512]),
+                               np.asarray(ref.X[:512]), atol=2e-5)
+
+
+def test_fused_is_wrapper(key):
+    from pspde.eval import importance_sampling_fused
+    from pspde.solvers import HJBSolver
+    p = LLGC(d=2, T=0.5)
+    s = HJBSolver("f", p, L=1, K=32, delta_t=0.05, time_approx="inner",
+                  verbose=False, early_stopping_time=None)
+    # interpret mode needs host noise for the TPU PRNG; patch via kernel
+    import importlib
+    isamp = importlib.import_module("pspde.eval.importance_sampling")
+    from pspde.rollout import kernels as kmod
+    orig = kmod.fused_controlled_rollout
+
+    def patched(problem, u_apply, leaves, K, N, dt, seed, **kw):
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (N, K, problem.d))
+        kw.update(interpret=True, host_noise=noise)
+        return orig(problem, u_apply, leaves, K, N, dt, seed, **kw)
+
+    kmod.fused_controlled_rollout = patched
+    try:
+        mean, var, rel = isamp.importance_sampling_fused(
+            p, s, K=4096, delta_t=0.05, seed=0, tile=2048)
+    finally:
+        kmod.fused_controlled_rollout = orig
+    # sanity: matches the plain scan-based IS estimate
+    mean2, var2, rel2 = isamp.importance_sampling(
+        p, s, K=4096, delta_t=0.05, key=key)
+    np.testing.assert_allclose(mean, mean2, rtol=0.1)
