@@ -20,6 +20,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (jax.distributed) for pod-scale runs.
+
+    After this, ``jax.devices()`` spans all hosts and the same
+    ``make_mesh`` + sharding-constraint path scales across the pod: XLA
+    routes the dp all-reduces over ICI within a slice and DCN across
+    slices.  No-op when JAX was already initialized or env-based
+    auto-detection applies (Cloud TPU sets the env for you)."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
 def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,
               devices=None) -> Mesh:
     """Create a ('dp', 'tp') mesh over the available devices."""
