@@ -29,15 +29,17 @@ def main():
     from pspde.solvers import HJBSolver
 
     d = 100
-    K = 8192
+    K = 65536
     delta_t = 1.0 / 32
     T = 1.0
     problem = LLGC(d=d, T=T)
+    # remat=True: at this K the backward pass is HBM-bound, so
+    # recomputing the forward activations beats storing them (~1.7x)
     solver = HJBSolver(
         "bench-hjb-d100", problem, lr=1e-3, L=1, K=K, delta_t=delta_t,
         time_approx="inner", loss_method="log-variance",
         detach_forward=True, learn_Y_0=True, verbose=False,
-        early_stopping_time=None,
+        early_stopping_time=None, remat=True,
     )
     N = solver.N
 
