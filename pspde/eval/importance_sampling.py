@@ -158,7 +158,7 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
 
 
 def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
-                              seed: int = 0, tile: int = 2048,
+                              seed: int = 0, tile: int = 512,
                               interpret: bool = False, verbose: bool = False):
     """Importance-sampling diagnostics on the fused Pallas rollout kernel:
     the whole N-step controlled simulation runs inside one TPU kernel with

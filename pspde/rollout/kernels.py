@@ -47,9 +47,11 @@ class ISRolloutOut(NamedTuple):
 
 def _normals_from_bits(shape):
     """Box-Muller on TPU PRNG bits -> standard normals of ``shape``."""
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    # uniforms in (0, 1): set exponent to [1, 2) then subtract 1
+    # bitcast to uint32 BEFORE shifting: the raw bits lower as int32 and
+    # an arithmetic >> would sign-extend into the exponent field
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # uniforms in [1, 2) from mantissa bits, then shift to [0, 1)
     u1 = pltpu.bitcast((bits1 >> 9) | jnp.uint32(0x3F800000),
                        jnp.float32) - 1.0
     u2 = pltpu.bitcast((bits2 >> 9) | jnp.uint32(0x3F800000),
@@ -67,7 +69,7 @@ def fused_controlled_rollout(
     delta_t: float,
     seed: int,
     with_f: bool = True,
-    tile: int = 1024,
+    tile: int = 512,
     interpret: bool = False,
     host_noise: "jnp.ndarray | None" = None,  # (N, K, d): test/CPU mode
 ) -> ISRolloutOut:
@@ -123,8 +125,14 @@ def fused_controlled_rollout(
         pvals = extra[:len(param_leaves)]
         return step_open(*cvals, X, t, xi, *pvals)
 
-    inputs = list(param_leaves) + list(consts) + [
+    raw_inputs = list(param_leaves) + list(consts) + [
         problem.X_0.astype(jnp.float32)[None, :]]
+    # canonicalize to 2-d so every weight/constant gets a full-array VMEM
+    # block (Mosaic only loads from VMEM/SMEM refs)
+    in_shapes = [x.shape for x in raw_inputs]
+    inputs = [jnp.asarray(x).reshape(
+        x.shape if getattr(x, "ndim", 0) == 2 else (1, -1))
+        for x in raw_inputs]
     n_in = len(inputs)
 
     use_host_noise = host_noise is not None
@@ -134,46 +142,53 @@ def fused_controlled_rollout(
                      ((0, 0), (0, pad), (0, 0)))
         inputs = inputs + [hn]
 
+    # Single lane-aligned output: columns [0, d) hold X, the next three
+    # columns the Ito / Riemann / f accumulators, padded up to a multiple
+    # of 128 lanes.  Separate (K, 1) outputs would be lane-padded 128x by
+    # the TPU (8, 128) tiling, wasting HBM and blowing the VMEM budget.
+    out_w = -(-(d + 3) // 128) * 128
+
     def kernel(seed_ref, *refs):
         in_refs = refs[:n_in]
         if use_host_noise:
             noise_ref = refs[n_in]
-            x_ref, ito_ref, riem_ref, fint_ref = refs[n_in + 1:]
+            out_ref = refs[n_in + 1]
         else:
             noise_ref = None
-            x_ref, ito_ref, riem_ref, fint_ref = refs[n_in:]
+            out_ref = refs[n_in]
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        extra = tuple(r[:] for r in in_refs[:-1])
+        extra = tuple(r[:].reshape(in_shapes[j])
+                      for j, r in enumerate(in_refs[:-1]))
 
-        x_ref[:] = jnp.broadcast_to(in_refs[-1][:], (tile, d))
-        ito_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
-        riem_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
-        fint_ref[:] = jnp.zeros((tile, 1), dtype=jnp.float32)
+        X0 = jnp.broadcast_to(
+            in_refs[-1][:].reshape(in_shapes[-1]), (tile, d))
+        acc0 = jnp.zeros((tile, 3), dtype=jnp.float32)
 
-        def body(n, _):
+        def body(n, carry):
+            X, acc = carry
             t = n.astype(jnp.float32) * dt
-            X = x_ref[:]
             if use_host_noise:
                 xi = noise_ref[n]
             else:
                 xi = _normals_from_bits((tile, d))
             X_new, u, fv = step_closed(X, t, xi, *extra)
-            x_ref[:] = X_new
-            ito_ref[:] += jnp.sum(u * xi, axis=-1, keepdims=True) * sq_dt
-            riem_ref[:] += jnp.sum(u * u, axis=-1, keepdims=True) * dt
-            fint_ref[:] += fv[:, None] * dt
-            return 0
+            d_acc = jnp.stack(
+                [jnp.sum(u * xi, axis=-1) * sq_dt,
+                 jnp.sum(u * u, axis=-1) * dt,
+                 fv * dt], axis=-1)
+            return X_new, acc + d_acc
 
-        lax.fori_loop(0, N, body, 0)
+        X, acc = lax.fori_loop(0, N, body, (X0, acc0))
+        out_ref[:, :d] = X
+        out_ref[:, d:d + 3] = acc
+        if out_w > d + 3:
+            out_ref[:, d + 3:] = jnp.zeros((tile, out_w - d - 3),
+                                           dtype=jnp.float32)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.float32),
-    )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)
-                for _ in range(n_in)]
+    out_shapes = jax.ShapeDtypeStruct((n_tiles * tile, out_w), jnp.float32)
+    in_specs = [pl.BlockSpec(x.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for x in inputs[:n_in]]
     if use_host_noise:
         in_specs.append(pl.BlockSpec((N, tile, d), lambda i, *_: (0, i, 0),
                                      memory_space=pltpu.VMEM))
@@ -181,18 +196,24 @@ def fused_controlled_rollout(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=tuple(
-            pl.BlockSpec((tile, s[1]), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for s in ((tile, d), (tile, 1), (tile, 1), (tile, 1))),
+        out_specs=pl.BlockSpec((tile, out_w), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
-    X, ito, riem, fint = pl.pallas_call(
+    compiler_params = None
+    if not interpret:
+        # mark the K-tile grid axis parallel so Mosaic streams the output
+        # blocks instead of keeping every tile resident in VMEM
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(jnp.asarray([seed], dtype=jnp.int32), *inputs)
-    return ISRolloutOut(X[:K], ito[:K, 0], riem[:K, 0], fint[:K, 0])
+    return ISRolloutOut(out[:K, :d], out[:K, d], out[:K, d + 1],
+                        out[:K, d + 2])
 
 
 def reference_controlled_rollout(problem, u_apply, param_leaves, K, N,
