@@ -1,0 +1,106 @@
+"""Ansatz-library tests: architectures, parameter counts, init scales."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pspde import ansatz
+
+
+def _count(params):
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+def test_densenet_structure(key):
+    """Concat-skip dims: layer i maps width sum(dims[:i+1]) -> dims[i+1]
+    (function_space.py:120-126)."""
+    d_in, arch, d_out = 5, (30, 30), 5
+    net = ansatz.DenseNet(d_out=d_out, arch=arch)
+    params = net.init(key, jnp.zeros((1, d_in)))
+    dims = [d_in, *arch, d_out]
+    expected = sum((sum(dims[:i + 1])) * dims[i + 1] + dims[i + 1]
+                   for i in range(len(dims) - 1))
+    assert _count(params) == expected
+    out = net.apply(params, jnp.zeros((7, d_in)))
+    assert out.shape == (7, d_out)
+    # relu^2 features are nonnegative; weights ~ 0.1 randn, biases 0
+    kernels = [v for k, v in jax.tree.flatten_with_path(params)[0]
+               if "kernel" in str(k)]
+    assert all(abs(float(jnp.std(w)) - 0.1) < 0.05 for w in kernels)
+
+
+def test_densenet_bias_and_output_relu(key):
+    net = ansatz.DenseNet(d_out=1, bias_init_value=0.8, output_relu=True)
+    params = net.init(key, jnp.zeros((1, 3)))
+    biases = [v for k, v in jax.tree.flatten_with_path(params)[0]
+              if "bias" in str(k)]
+    assert all(np.allclose(np.asarray(b), 0.8) for b in biases)
+    out = net.apply(params, jnp.linspace(-2, 2, 11)[:, None].repeat(3, 1))
+    assert (np.asarray(out) >= 0).all()
+
+
+def test_tanh_mlp_init_scale(key):
+    net = ansatz.TanhMLP(d_out=4)
+    params = net.init(key, jnp.zeros((1, 5)))
+    leaves = jax.tree.leaves(params)
+    # N(0, 0.01) on weights AND biases (function_space.py:186-188)
+    assert all(float(jnp.std(l)) < 0.05 for l in leaves)
+    assert net.apply(params, jnp.zeros((3, 5))).shape == (3, 4)
+
+
+def test_scalar_param_modes(key):
+    for init, expect in [(0.0, 0.0), (2.5, 2.5)]:
+        net = ansatz.ScalarParam(initial=init)
+        p = net.init(key, jnp.zeros((1, 1)))
+        out = net.apply(p, jnp.zeros((6, 1)))
+        assert out.shape == (6,)
+        np.testing.assert_allclose(np.asarray(out), expect)
+    out = ansatz.ScalarParam(initial=None).init(key, jnp.zeros((1, 1)))
+    assert np.asarray(jax.tree.leaves(out)[0]).shape == (1,)
+
+
+def test_linear_lq_gain(key):
+    B = 2.0 * jnp.eye(3)
+    Q = 0.5 * jnp.eye(3)
+    net = ansatz.LinearLQ(B=B, Q=Q)
+    p = net.init(key, jnp.zeros((1, 3)))
+    F = jax.tree.leaves(p)[0]
+    x = jax.random.normal(key, (4, 3))
+    got = net.apply(p, x)
+    want = x @ (jnp.linalg.inv(Q) @ B.T @ F).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_affine_zero_init(key):
+    net = ansatz.Affine(d_out=3)
+    p = net.init(key, jnp.zeros((1, 3)))
+    out = net.apply(p, jax.random.normal(key, (5, 3)))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_constant_and_sines_and_nn(key):
+    out = ansatz.ConstantVector(d=4).apply(
+        ansatz.ConstantVector(d=4).init(key, jnp.zeros((1, 4))),
+        jnp.zeros((6, 4)))
+    assert out.shape == (6, 4)
+    assert np.allclose(np.asarray(out[0]), np.asarray(out[5]))
+
+    sines = ansatz.Sines(M=8)
+    ps = sines.init(key, jnp.zeros((1, 1)))
+    assert sines.apply(ps, jnp.zeros((3, 1))).shape == (3, 1)
+
+    nn_net = ansatz.BatchNormMLP(d_out=2)
+    pn = nn_net.init(key, jnp.zeros((4, 3)))
+    assert nn_net.apply(pn, jax.random.normal(key, (4, 3))).shape == (4, 2)
+
+    nik = ansatz.ReluMLP1d(hidden=16)
+    pk = nik.init(key, jnp.zeros((1, 1)))
+    assert nik.apply(pk, jnp.zeros((5, 1))).shape == (5, 1)
+
+
+def test_densenet_tanh_variants(key):
+    for cls in [ansatz.DenseNetTanh, ansatz.DenseNetTanh2]:
+        net = cls(d_out=2, arch=(10, 10))
+        p = net.init(key, jnp.zeros((1, 3)))
+        assert net.apply(p, jnp.zeros((4, 3))).shape == (4, 2)
