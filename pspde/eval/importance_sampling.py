@@ -189,6 +189,22 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
 do_importance_sampling_me = importance_sampling
 
 
+def do_importance_sampling_Wei(problem, model, K, control="approx",
+                               verbose=True, delta_t=0.01, key=None):
+    """Variance-pair variant (utilities.py:362-396): returns
+    (variance_naive, variance_IS) of the terminal-cost estimator with no
+    running cost."""
+    out = importance_sampling(problem, model, K, control=control,
+                              simulate_naive=True, delta_t=delta_t, key=key)
+    mean_naive, var_naive, _, mean_IS, var_IS, _ = out
+    if verbose:
+        print("\n(mean, variance) of naive estimator: (%.4e, %.4e)"
+              % (mean_naive, var_naive))
+        print("(mean, variance) of importance sampling estimator: "
+              "(%.4e, %.4e)" % (mean_IS, var_IS))
+    return var_naive, var_IS
+
+
 def do_importance_sampling(problem, model, K, control="approx", verbose=True,
                            delta_t=0.01, key=None):
     """Full 6-tuple variant (utilities.py:228-284) — always simulates the

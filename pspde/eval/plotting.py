@@ -133,6 +133,22 @@ def plot_solution(model, x, t, components, ylims=None):
         ax[1].plot(t_range, [float(-model.Z_n(X_pt, tt)[0, j])
                              for tt in t_range], "--",
                    label=r"approx $x_%d$" % (j + 1), color=COLORS[j])
+    if value_mode:
+        have_v = model.problem is not None and hasattr(model.problem,
+                                                       "v_ref_fn")
+        v_ref = model.problem.v_ref_fn(t_range) if have_v else None
+        ax[2].set_title("value function, t = %.2f" % t)
+        if v_ref is not None:
+            ax[2].plot(x_val, np.asarray(
+                v_ref(X_grid, min(n, model.N - 1))))
+        ax[2].plot(x_val, np.asarray(model.Y_n(X_grid, t)), "--")
+        ax[3].set_title("value function, x = %.2f" % x)
+        if v_ref is not None:
+            ax[3].plot(t_range, [float(v_ref(X_pt, k)[0])
+                                 for k in range(model.N)])
+        ax[3].plot(t_range, [float(model.Y_n(X_pt, tt)[0])
+                             for tt in t_range], "--")
+
     if ylims is not None:
         for a, yl in zip(ax, ylims):
             a.set_ylim(*yl)

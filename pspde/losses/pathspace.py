@@ -10,6 +10,11 @@ be taken before squaring — SURVEY.md section 5.8).
 Variance conventions match the reference: ``log-variance`` uses the biased
 mean-of-squares minus squared-mean form (solver.py:168) while ``variance``
 uses torch's Bessel-corrected ``pt.var`` (solver.py:172).
+
+Not rebuilt: 'log-variance_red' / 'log-variance_red_2' (solver.py:173-178)
+— dead code in the reference; they read module-level ``u_int`` /
+``u_W_int`` / ``double_int`` that only exist as locals inside ``train``,
+so they raise NameError if ever selected.
 """
 
 from __future__ import annotations

@@ -65,7 +65,7 @@ class HJBSolver:
                  IS_variance_K=0, IS_variance_iter=1,
                  metastability_logs=None, print_every=100, seed=42,
                  save_results=False, u_l2_error_flag=True,
-                 log_gradient=False,
+                 log_gradient=False, plot_trajectories=None,
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32):
@@ -109,6 +109,7 @@ class HJBSolver:
         self.IS_variance_K = IS_variance_K
         self.IS_variance_iter = IS_variance_iter
         self.metastability_logs = metastability_logs
+        self.plot_trajectories = plot_trajectories
         self.compute_gradient_variance = compute_gradient_variance
         self.log_gradient = log_gradient
         self.mesh = mesh
@@ -434,6 +435,16 @@ class HJBSolver:
 
     def u(self, X, t: float):
         return -self.Z_n(X, t)
+
+    def Y_n(self, X, t: float):
+        """Value-function evaluation at time t (value mode only;
+        solver.py:341-347 with the consistent t = n*dt indexing)."""
+        assert self.approx_method == "value_function"
+        n = int(np.ceil(t / self.delta_t))
+        fn = self._control_fn()
+        _, V = fn(self.params, X, jnp.int32(min(n, self.N)),
+                  jnp.float32(t))
+        return V
 
     def train_LSE_with_reference(self, xb=2.0, n_grid=200):
         """Supervised least-squares fit of the control against u_true on a
