@@ -56,6 +56,7 @@ class DenseNet(nn.Module):
     weight_scale: float = 0.1
     bias_init_value: float = 0.0
     output_relu: bool = False
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. bf16 on the MXU
 
     @nn.compact
     def __call__(self, x):
@@ -65,16 +66,19 @@ class DenseNet(nn.Module):
                 width,
                 kernel_init=_scaled_normal(self.weight_scale),
                 bias_init=nn.initializers.constant(self.bias_init_value),
+                dtype=self.compute_dtype,
             )(feats)
-            feats = jnp.concatenate([feats, nn.relu(h) ** 2], axis=-1)
+            feats = jnp.concatenate(
+                [feats, (nn.relu(h) ** 2).astype(x.dtype)], axis=-1)
         out = nn.Dense(
             self.d_out,
             kernel_init=_scaled_normal(self.weight_scale),
             bias_init=nn.initializers.constant(self.bias_init_value),
+            dtype=self.compute_dtype,
         )(feats)
         if self.output_relu:
             out = nn.relu(out)
-        return out
+        return out.astype(x.dtype)
 
 
 class DenseNetTanh(nn.Module):
@@ -126,15 +130,21 @@ class TanhMLP(nn.Module):
     d_out: int
     hidden: Sequence[int] = (30, 30)
     init_scale: float = 0.01
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. bf16 on the MXU
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
         for width in self.hidden:
             x = nn.Dense(width, kernel_init=_scaled_normal(self.init_scale),
-                         bias_init=_scaled_normal(self.init_scale))(x)
+                         bias_init=_scaled_normal(self.init_scale),
+                         dtype=self.compute_dtype)(x)
             x = jnp.tanh(x)
-        return nn.Dense(self.d_out, kernel_init=_scaled_normal(self.init_scale),
-                        bias_init=_scaled_normal(self.init_scale))(x)
+        out = nn.Dense(self.d_out,
+                       kernel_init=_scaled_normal(self.init_scale),
+                       bias_init=_scaled_normal(self.init_scale),
+                       dtype=self.compute_dtype)(x)
+        return out.astype(in_dtype)
 
 
 class BatchNormMLP(nn.Module):
