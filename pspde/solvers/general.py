@@ -294,6 +294,23 @@ class GeneralSolver:
         return fn
 
     # ------------------------------------------------------------------
+
+    # -- persistence (orbax; mirrors solver.py:313-332) --------------------
+    def save_networks(self, out_dir="output"):
+        import os
+        from ..utils.checkpoint import save_params
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "%s_%s" % (self.name, self.date))
+        save_params(path, self.params, self.opt_state)
+        if self.verbose:
+            print("\nnetworks data has been stored to: %s" % path)
+        return path
+
+    def load_networks(self, path):
+        from ..utils.checkpoint import load_params
+        self.params, self.opt_state = load_params(
+            path, self.params, self.opt_state)
+
     def train(self):
         if self._step is None:
             self._step = (self._build_pinn_step()
