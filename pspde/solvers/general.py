@@ -209,8 +209,12 @@ class GeneralSolver:
                     at_T = out.t > (T - dt)
                     loss = loss + masked_mean(
                         (out.Y - problem.f_terminal(out.X)) ** 2, at_T)
-                    _, Z_end = vg_fn(params, out.X, out.t)
-                    grad_end = Z_end  # sigma^T grad; radial matching proxy
+                    # raw grad_x V (NOT sigma^T grad) as in solver.py:1183
+                    def v_of_x(x):
+                        xt = jnp.concatenate([x, out.t[:, None]], axis=-1)
+                        return self.V_net.apply(params, xt)[:, 0]
+                    Ve, pull = jax.vjp(v_of_x, out.X)
+                    (grad_end,) = pull(jnp.ones_like(Ve))
                     lhs = jnp.sum(grad_end * out.X, axis=-1)
                     rhs = jnp.sum(problem.g(out.X, out.t) * out.X, axis=-1)
                     loss = loss + masked_mean((lhs - rhs) ** 2, ~at_T)
