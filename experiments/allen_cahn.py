@@ -27,7 +27,11 @@ def main():
     args = parse_args(default_L=60000)
     d = 100
     p = AllenCahn(d=d, T=0.3)
-    net = DenseNet(d_out=1, arch=(d + 20, d, d, d))
+    # notebook cell 1: sampling ball radius 7, cube-direction x uniform
+    # radius (uniform_square), net arch [110, 110, 50]
+    from pspde.problems.base import Geometry
+    p.geometry = Geometry(kind="unbounded", boundary_distance=7.0)
+    net = DenseNet(d_out=1, arch=(110, 110, 50))
     configs = [
         ("diffusion", dict(loss_method="diffusion", N=25, delta_t=1e-3,
                            L=args.L)),
@@ -39,7 +43,8 @@ def main():
     for name, kw in configs:
         t0 = time.time()
         s = GeneralSolver(p, name, seed=args.seed, lr=1e-3, K=200,
-                          K_boundary=100, value_net=net,
+                          K_boundary=50, value_net=net,
+                          uniform_square=True,
                           print_every=max(kw["L"] // 20, 1), **kw)
         s.train()
         mins = (time.time() - t0) / 60
