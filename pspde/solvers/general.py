@@ -91,6 +91,27 @@ class GeneralSolver:
         self._step = None
         self._test_fn = None
 
+        # Coverage guard: with an unbounded geometry the terminal loss only
+        # pins V(. , T) on the sampled ball; if the diffusion spread
+        # sqrt(tr(sigma sigma^T) T) exceeds the sampling radius, paths end
+        # OUTSIDE the pinned region and the diffusion/BSDE losses admit
+        # spurious (time-flat) minimizers.  The reference's Allen-Cahn
+        # notebook handles this by overriding boundary_distance to 7.0
+        # (cell 1); warn users who would silently hit the failure mode.
+        geom = problem.geometry
+        if geom is not None and not geom.bounded and verbose:
+            import numpy as _np
+            mat = _np.asarray(problem.sigma_struct.mat)
+            spread = float(_np.sqrt(_np.trace(mat @ mat.T) * self.T))
+            radius = (geom.boundary_distance if "square" not in geom.kind
+                      else abs(geom.X_r - geom.X_l) / 2)
+            if spread > 1.5 * radius:
+                print(f"WARNING: diffusion spread ~{spread:.1f} exceeds the "
+                      f"sampling radius {radius:.1f}; terminal pinning will "
+                      "not cover path endpoints — increase "
+                      "geometry.boundary_distance (cf. Allen-Cahn nb "
+                      "cell 1: boundary_distance = 7.0).")
+
     # ------------------------------------------------------------------
     def _v_xt(self, params):
         """V evaluated on concatenated (x, t) input rows."""
