@@ -76,3 +76,12 @@ def test_solve_linear_l2_projection_runs():
     p = HeatEquation(d=2, T=0.2)
     s = _train(p, "diffusion", L=100, solve_linear_L2_projection=True)
     assert np.isfinite(s.loss_log[-1])
+
+
+def test_unbounded_coverage_warning(capsys):
+    """The spurious-minimizer guard fires when the sampling radius misses
+    the diffusion spread (Allen-Cahn default geometry)."""
+    from pspde.solvers import GeneralSolver as GS
+    p = AllenCahn(d=100, T=0.3)
+    GS(p, "w", L=1, verbose=True)
+    assert "sampling radius" in capsys.readouterr().out
