@@ -9,7 +9,7 @@ statistical relative errors of the cross-entropy-type estimators
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ log-sum-exp formulation), which the reference does not do.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

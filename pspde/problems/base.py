@@ -31,7 +31,7 @@ Protocol conventions (all shapes batched over leading axis K):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ Rebuilds (protocol: ``h(x, y, z)``, ``g(x)`` boundary data, ``v_ref(x)``):
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from .base import DiffusionMatrix, Geometry, Problem
 

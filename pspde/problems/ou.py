@@ -17,7 +17,6 @@ per-step host roundtrip (solver.py:491-494).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

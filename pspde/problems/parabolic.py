@@ -15,7 +15,6 @@ Protocol (GeneralSolver family, cf. solver.py:1062-1074):
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from .base import DiffusionMatrix, Geometry, Problem
 

@@ -22,7 +22,6 @@ are hoisted to kernel inputs automatically).  Falls back to a jnp
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

@@ -26,7 +26,6 @@ of those see X_{n+1} with time t_n — reproduced exactly):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

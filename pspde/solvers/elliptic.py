@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import time
 from datetime import date
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

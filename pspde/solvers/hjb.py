@@ -21,8 +21,6 @@ import json
 import os
 import time
 from datetime import date
-from functools import partial
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
