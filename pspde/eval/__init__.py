@@ -3,6 +3,7 @@ from .gradient_variance import gradient_variances
 from .importance_sampling import (do_importance_sampling,
                                   do_importance_sampling_Wei,
                                   importance_sampling_fused,
+                                  make_is_runner,
                                   do_importance_sampling_me,
                                   importance_sampling)
 from .plotting import (load_exp_logs, plot_control_for_DoubleWell1d,

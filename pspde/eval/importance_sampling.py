@@ -24,12 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _control_closure(model, delta_t: float, N: int):
+def _control_closure(model, delta_t: float, N: int, params=None):
     """Evaluate the model control u = -Z on the IS time grid, mapping IS
     step n to the model's time index ceil(t / model.delta_t)
     (solver.py:360-362)."""
     control_fn = model._control_fn()
-    params = model.params
+    params = model.params if params is None else params
     idx = jnp.asarray(
         np.ceil(np.arange(N) * delta_t / model.delta_t - 1e-9).astype(np.int32))
 
@@ -39,6 +39,31 @@ def _control_closure(model, delta_t: float, N: int):
         return -Z
 
     return u
+
+
+def make_is_runner(problem, model, K: int, delta_t: float = 0.01):
+    """Jit-once IS diagnostic: returns ``run(params, key) -> (mean, var,
+    rel)``.  Used by the training loops so the per-iteration IS hook
+    (solver.py:521-528) does not re-trace."""
+    N = int(np.ceil(problem.T / delta_t))
+    control_fn = model._control_fn()
+    idx = jnp.asarray(
+        np.ceil(np.arange(N) * delta_t / model.delta_t - 1e-9)
+        .astype(np.int32))
+
+    @jax.jit
+    def run(params, key):
+        def u_fn(X, n):
+            t = n.astype(jnp.float32) * delta_t
+            Z, _ = control_fn(params, X, idx[n], t)
+            return -Z
+
+        X, X_u, ito, riem, f_int, f_int_u = _is_scan(
+            problem, u_fn, K, N, delta_t, key, False, None)
+        logw = -f_int_u - problem.g(X_u) - ito - 0.5 * riem
+        return _stats_from_logw(logw)
+
+    return run
 
 
 def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,

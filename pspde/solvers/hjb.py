@@ -394,10 +394,12 @@ class HJBSolver:
                     float(jnp.mean(jnp.abs(rel))))
 
             if self.IS_variance_K > 0 and l % self.IS_variance_iter == 0:
-                from ..eval.importance_sampling import importance_sampling
-                _, _, rel_IS = importance_sampling(
-                    self.problem, self, self.IS_variance_K,
-                    key=jax.random.fold_in(key, 1))
+                if not hasattr(self, "_is_runner"):
+                    from ..eval.importance_sampling import make_is_runner
+                    self._is_runner = make_is_runner(
+                        self.problem, self, self.IS_variance_K)
+                _, _, rel_IS = jax.device_get(
+                    self._is_runner(self.params, jax.random.fold_in(key, 1)))
                 self.IS_rel_log.append(float(rel_IS))
 
             self.times.append(time.time() - t0)
