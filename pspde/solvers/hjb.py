@@ -295,6 +295,17 @@ class HJBSolver:
             aux = {"u_l2": jnp.mean(out.u_l2), "X": out.X, "Y": out.Y}
             return loss, aux
 
+        def _extra_metrics(params, X_final):
+            m = {}
+            if self.learn_Y_0 and self.approx_method == "control":
+                m["Y_0"] = self.y0_net.apply(params["y0"],
+                                             jnp.zeros((1, 1), dtype))[0]
+            if meta is not None:
+                dist = jnp.sqrt(jnp.sum((X_final - meta_target) ** 2,
+                                        axis=-1))
+                m["meta_frac"] = jnp.mean((dist < meta_eps).astype(dtype))
+            return m
+
         def split_y0_step(params, opt_state, key):
             """'log-variance-y_0' (solver.py:205-218): variance part updates
             the control net, squared-mean part updates y_0 — one forward,
@@ -314,18 +325,8 @@ class HJBSolver:
             params = optax.apply_updates(params, updates)
             metrics = {"loss": var_part + meansq_part,
                        "u_l2": jnp.mean(out.u_l2)}
-            metrics.update(_extra_metrics(params, out))
+            metrics.update(_extra_metrics(params, out.X))
             return params, opt_state, metrics
-
-        def _extra_metrics(params, out):
-            m = {}
-            if self.learn_Y_0 and self.approx_method == "control":
-                m["Y_0"] = self.y0_net.apply(params["y0"],
-                                             jnp.zeros((1, 1), dtype))[0]
-            if meta is not None:
-                dist = jnp.sqrt(jnp.sum((out.X - meta_target) ** 2, axis=-1))
-                m["meta_frac"] = jnp.mean((dist < meta_eps).astype(dtype))
-            return m
 
         def step(params, opt_state, key):
             if lm == "log-variance-y_0":
@@ -339,10 +340,7 @@ class HJBSolver:
                 gz = grads.get("z", grads.get("y"))
                 metrics["grad_flat"] = jnp.concatenate(
                     [jnp.reshape(l, (-1,)) for l in jax.tree.leaves(gz)])
-
-            class _Out:
-                X = aux["X"]
-            metrics.update(_extra_metrics(params, _Out))
+            metrics.update(_extra_metrics(params, aux["X"]))
             return params, opt_state, metrics
 
         return jax.jit(step, donate_argnums=(0, 1))
