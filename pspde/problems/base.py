@@ -120,6 +120,10 @@ class DiffusionMatrix:
 class Problem:
     """Base class: holds common metadata; subclasses define the physics."""
 
+    # True when h(t, x, y, z) ignores y — enables the batched-gradient
+    # rollout fast path (rollout/sde.py: hjb_rollout_batched_grad)
+    h_is_y_free: bool = False
+
     name: str = "problem"
     d: int
     T: Optional[float] = None

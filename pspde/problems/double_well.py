@@ -59,6 +59,8 @@ class DoubleWell(Problem):
     log-transformed linear backward PDE (problems.py:216-269).
     """
 
+    h_is_y_free = True
+
     def __init__(self, name="Double well", d=1, T=1.0, eta=1.0, kappa=1.0):
         super().__init__(d=d, T=float(T))
         self.name = name
@@ -128,6 +130,8 @@ class DoubleWell(Problem):
 class DoubleWell_multidim(Problem):
     """Product of 1-d double wells: dims 0..d_1-1 carry (eta, kappa), dims
     d_1..d-1 carry (1, 1) — mixed metastabilities (problems.py:285-476)."""
+
+    h_is_y_free = True
 
     def __init__(self, name="Double well", d=1, d_1=1, d_2=0, T=1.0, eta=1.0,
                  kappa=1.0):
@@ -266,6 +270,8 @@ class DoubleWell_multidim_2(Problem):
     """Radial double well kappa ((|x|^2-3)^2-1)^2 (problems.py:691-727);
     no reference solution (zeros)."""
 
+    h_is_y_free = True
+
     def __init__(self, name="Double well", d=1, T=1.0, alpha=1.0, kappa=1.0):
         super().__init__(d=d, T=float(T))
         self.name = name
@@ -310,6 +316,8 @@ class DoubleWell_OU(Problem):
     """Dim 0 is a double well, dims 1..d-1 are OU with rate a=5
     (problems.py:843-959); g couples a double-well terminal in x_0 with a
     linear cost on the OU block."""
+
+    h_is_y_free = True
 
     def __init__(self, name="Double well", d=1, T=1.0, alpha=1.0, kappa=1.0):
         super().__init__(d=d, T=float(T))

@@ -38,6 +38,8 @@ class LLGC(Problem):
     loss-statistics notebook variant.
     """
 
+    h_is_y_free = True
+
     def __init__(self, name="LLGC", d=1, off_diag=0.0, T=5.0, seed=42,
                  h_sign=-1.0):
         super().__init__(d=d, T=float(T))
@@ -131,6 +133,8 @@ class LLGC_general_f(Problem):
     (problems.py:95-96).
     """
 
+    h_is_y_free = True
+
     def __init__(self, name="LLGC", d=1, off_diag=0.0, T=5.0, seed=42):
         super().__init__(d=d, T=float(T))
         self.name = name
@@ -186,6 +190,8 @@ class LQGC(Problem):
     value ``x^T F_n x + G_n`` with ``G' = -Tr(B B^T F)`` backwards, which
     satisfies ``u* = -sigma^T grad v``.
     """
+
+    h_is_y_free = True
 
     def __init__(self, name="LQGC", delta_t=0.05, d=1, off_diag=0.0, T=5.0,
                  seed=42):

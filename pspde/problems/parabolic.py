@@ -22,6 +22,8 @@ from .base import DiffusionMatrix, Geometry, Problem
 class HeatEquation(Problem):
     """d-dimensional heat equation, v = |x|^2 + 2(T-t)d (problems.py:1733-1764)."""
 
+    h_is_y_free = True
+
     def __init__(self, name="Heat equation", d=1, T=1.0, seed=42):
         super().__init__(d=d, T=float(T))
         self.name = name

@@ -144,6 +144,97 @@ def hjb_rollout(
     return HJBRolloutOut(X, Y, Z_sum, u_l2, add_loss)
 
 
+def hjb_rollout_batched_grad(
+    cfg: HJBRolloutConfig,
+    problem,
+    control_fn: Callable,
+    params: Any,
+    X0: jnp.ndarray,
+    Y0: jnp.ndarray,
+    key: jax.Array,
+    u_ref: Optional[Callable] = None,
+) -> HJBRolloutOut:
+    """TPU-first fast path for the detached-forward control-mode rollout.
+
+    When ``detach_forward=True`` and h does not depend on y, the X path
+    carries NO parameter gradient, and Y decomposes into per-step terms
+    Y = Y_0 + sum_n a(t_n, X_{n+1}, Z_n, xi_n) that depend on the
+    parameters only through Z_n = z_theta(t_n, X_n).  So instead of
+    backpropagating through the sequential scan (N small backward
+    kernels), we: (1) run a lean gradient-free scan that materializes the
+    X path, then (2) evaluate the control network ONCE on the flattened
+    (N*K, d) batch — a single large, perfectly MXU-shaped matmul stack
+    whose backward is equally batched.  Identical outputs to
+    :func:`hjb_rollout` (same per-step noise keys).
+
+    Requirements (asserted): control mode, detach_forward, no value mode,
+    no repa phase, h independent of y (problem.h ignores its y argument,
+    true for the quadratic-cost HJB family).
+    """
+    assert cfg.detach_forward and not cfg.value_mode
+    assert cfg.repa_phase is None and not cfg.burgers_drift
+    K, d = X0.shape
+    N = cfg.N
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+
+    # ---- phase 1: parameter-free forward path (collect X_pre, X_post, xi)
+    frozen = lax.stop_gradient(params)
+
+    def fwd_step(X, n):
+        t = n.astype(jnp.float32) * dt
+        Z, _ = control_fn(frozen, X, n, t)
+        c = -Z if cfg.adaptive_forward else jnp.zeros_like(X)
+        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                               dtype=X.dtype)
+        X_new = X + (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
+        return X_new, (X, X_new, xi)
+
+    X_final, (X_pre, X_post, xis) = lax.scan(fwd_step, X0, jnp.arange(N))
+
+    # ---- phase 2: one batched, differentiable control evaluation -------
+    ns = jnp.arange(N)
+    ts = ns.astype(jnp.float32) * dt
+    # control_fn consumes (K, d) batches per step; vmap over the step axis
+    # keeps 'outer' per-step parameter stacks correct while XLA fuses the
+    # N x K rows into large matmuls.
+    Z_all, _ = jax.vmap(
+        lambda X, n, t: control_fn(params, X, n, t))(X_pre, ns, ts)
+
+    c_all = lax.stop_gradient(-Z_all) if cfg.adaptive_forward \
+        else jnp.zeros_like(Z_all)
+    Zc = jnp.sum(Z_all * c_all, axis=-1)          # (N, K)
+    Zxi = jnp.sum(Z_all * xis, axis=-1)
+    h_all = jax.vmap(
+        lambda t, Xn, Z: problem.h(t, Xn, jnp.zeros((K,), X0.dtype), Z))(
+        ts, X_post, Z_all)
+    Y = Y0 + jnp.sum((-h_all + Zc) * dt + Zxi * sq_dt, axis=0)
+
+    Z_sum = jnp.zeros((K,), dtype=X0.dtype)
+    if cfg.reparametrization:
+        v_all = lax.stop_gradient(-Z_all)
+        Z_sum = Z_sum + jnp.sum(
+            -0.5 * jnp.sum(v_all * v_all, -1) * dt
+            + jnp.sum(v_all * c_all, -1) * dt
+            + jnp.sum(v_all * xis, -1) * sq_dt, axis=0)
+    if cfg.accumulate_kl:
+        f_all = jax.vmap(lambda Xn, t: problem.f(Xn, t))(X_post, ts)
+        Z_sum = Z_sum + jnp.sum(
+            (0.5 * jnp.sum(Z_all * Z_all, -1) + f_all) * dt, axis=0)
+        if cfg.kl_ito_term:
+            Z_sum = Z_sum - jnp.sum(Zxi, axis=0) * sq_dt
+
+    u_l2 = jnp.zeros((K,), dtype=X0.dtype)
+    if cfg.track_u_l2 and u_ref is not None:
+        err = jax.vmap(lambda Z, Xn, n: -Z - u_ref(Xn, n))(
+            lax.stop_gradient(Z_all), X_post, ns)
+        u_l2 = jnp.sum(jnp.sum(err * err, -1) * dt, axis=0)
+
+    return HJBRolloutOut(X_final, Y, Z_sum, u_l2,
+                         jnp.zeros((K,), dtype=X0.dtype))
+
+
 class StoppedRolloutOut(NamedTuple):
     X: jnp.ndarray          # (K, d) state at stopping (or final) time
     Y: jnp.ndarray          # (K,) accumulated value increments

@@ -30,7 +30,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ansatz import DenseNet, ScalarParam, TanhMLP
 from ..losses.pathspace import (hjb_loss, log_variance_y0_losses)
-from ..rollout.sde import HJBRolloutConfig, hjb_rollout
+from ..rollout.sde import (HJBRolloutConfig, hjb_rollout,
+                           hjb_rollout_batched_grad)
 
 
 def init_stacked(module, key, n_copies: int, sample_in: jnp.ndarray):
@@ -278,12 +279,19 @@ class HJBSolver:
                     problem.X_0.astype(dtype), (K, d))
             return self._shard(X0)
 
+        use_batched_grad = (
+            cfg.detach_forward and not cfg.value_mode
+            and cfg.repa_phase is None and not cfg.burgers_drift
+            and getattr(problem, "h_is_y_free", False))
+        rollout = (hjb_rollout_batched_grad if use_batched_grad
+                   else hjb_rollout)
+
         def rollout_outputs(params, key):
             kx, kr = jax.random.split(key)
             X0 = init_X(kx)
             Y0 = self._shard(y_init(params, X0))
-            return hjb_rollout(cfg, problem, control_fn, params, X0, Y0, kr,
-                               u_ref=u_ref)
+            return rollout(cfg, problem, control_fn, params, X0, Y0, kr,
+                           u_ref=u_ref)
 
         def loss_fn(params, key):
             out = rollout_outputs(params, key)

@@ -134,3 +134,64 @@ def test_remat_matches_no_remat(key):
     l2, g2 = jax.value_and_grad(lambda p_: loss(p_, True))(params)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(float(g1["w"]), float(g2["w"]), rtol=1e-5)
+
+
+def test_batched_grad_fast_path_matches_scan(key):
+    """hjb_rollout_batched_grad == hjb_rollout (values AND gradients) for
+    detached-forward, y-free-h configs."""
+    from pspde.rollout.sde import hjb_rollout_batched_grad
+    from pspde.solvers import HJBSolver
+    p = LLGC(d=3, T=0.5)
+    s = HJBSolver("x", p, L=1, K=64, delta_t=0.05, time_approx="inner",
+                  detach_forward=True, learn_Y_0=True, verbose=False,
+                  loss_method="relative_entropy_BSDE",
+                  early_stopping_time=None)
+    s.detach_forward = True   # relative_entropy forces adaptive, keep detach
+    cfg = s._rollout_cfg(0)
+    cf, yi = s._control_fn(), s._y_init_fn()
+    X0 = jnp.zeros((64, 3))
+
+    def loss(params, roll):
+        out = roll(cfg, p, cf, params, X0, yi(params, X0), key,
+                   u_ref=s._u_ref)
+        return jnp.mean(out.Z_sum + p.g(out.X)), out
+
+    (l1, o1), g1 = jax.value_and_grad(
+        lambda prm: loss(prm, hjb_rollout), has_aux=True)(s.params)
+    (l2, o2), g2 = jax.value_and_grad(
+        lambda prm: loss(prm, hjb_rollout_batched_grad),
+        has_aux=True)(s.params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1.Y), np.asarray(o2.Y),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1.Z_sum), np.asarray(o2.Z_sum),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_batched_grad_outer_time_approx(key):
+    """Fast path with per-step ('outer') parameter stacks."""
+    from pspde.rollout.sde import hjb_rollout_batched_grad
+    from pspde.solvers import HJBSolver
+    p = LLGC(d=2, T=0.5)
+    s = HJBSolver("x", p, L=1, K=32, delta_t=0.1, time_approx="outer",
+                  detach_forward=True, verbose=False,
+                  early_stopping_time=None)
+    cfg = s._rollout_cfg(0)
+    cf, yi = s._control_fn(), s._y_init_fn()
+    X0 = jnp.zeros((32, 2))
+
+    def loss(params, roll):
+        out = roll(cfg, p, cf, params, X0, yi(params, X0), key,
+                   u_ref=s._u_ref)
+        r = out.Y - p.g(out.X)
+        return jnp.mean(r ** 2) - jnp.mean(r) ** 2
+
+    l1 = jax.grad(lambda prm: loss(prm, hjb_rollout))(s.params)
+    l2 = jax.grad(
+        lambda prm: loss(prm, hjb_rollout_batched_grad))(s.params)
+    for a, b in zip(jax.tree.leaves(l1), jax.tree.leaves(l2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
