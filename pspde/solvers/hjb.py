@@ -67,7 +67,8 @@ class HJBSolver:
                  log_gradient=False, plot_trajectories=None,
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
-                 remat=None, mesh=None, dtype=jnp.float32):
+                 remat=None, mesh=None, dtype=jnp.float32,
+                 rollout_mode="scan"):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -113,6 +114,11 @@ class HJBSolver:
         self.log_gradient = log_gradient
         self.mesh = mesh
         self.remat = (self.N > 512) if remat is None else remat
+        # 'scan' (default: lax.scan with optional remat) or 'batched_grad'
+        # (gradient-free forward + one flattened (N*K)-row differentiable
+        # control evaluation; requires detach_forward and y-free h — wins
+        # in dispatch-bound regimes, loses to scan+remat when HBM-bound)
+        self.rollout_mode = rollout_mode
 
         # -- ansatz ---------------------------------------------------------
         key = jax.random.PRNGKey(seed)
@@ -280,7 +286,8 @@ class HJBSolver:
             return self._shard(X0)
 
         use_batched_grad = (
-            cfg.detach_forward and not cfg.value_mode
+            self.rollout_mode == "batched_grad"
+            and cfg.detach_forward and not cfg.value_mode
             and cfg.repa_phase is None and not cfg.burgers_drift
             and getattr(problem, "h_is_y_free", False))
         rollout = (hjb_rollout_batched_grad if use_batched_grad
