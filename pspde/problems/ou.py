@@ -54,6 +54,9 @@ class LLGC(Problem):
         self.h_sign = float(h_sign)
         self.geometry = Geometry(kind="square", X_l=-2.0, X_r=2.0)
         self._sigma = DiffusionMatrix(self.B)
+        # A = -I when off_diag == 0: elementwise drift instead of a dense
+        # (K, d) x (d, d) matmul in the hot loop
+        self._A_is_neg_identity = (off_diag == 0.0)
         if not np.all(np.linalg.eigvals(self._A_np).real < 0):
             print("not all EV of A are negative")
 
@@ -62,6 +65,8 @@ class LLGC(Problem):
         return self._sigma
 
     def b(self, x):
+        if self._A_is_neg_identity:
+            return -x
         return x @ self.A.T
 
     def f(self, x, t):

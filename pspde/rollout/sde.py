@@ -109,6 +109,12 @@ def hjb_rollout(
                                dtype=X.dtype)
 
         X_new = X + (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
+        if cfg.detach_forward:
+            # with a detached control the X chain carries no parameter
+            # gradient; cutting it explicitly prunes the (useless but
+            # nonzero) X-cotangent backward work — one dense drift
+            # backward matmul per step at d=100
+            X_new = lax.stop_gradient(X_new)
 
         Zc = jnp.sum(Z_used * c, axis=-1)
         Zxi = jnp.sum(Z_used * xi, axis=-1)
