@@ -33,7 +33,9 @@ def main():
             return net.apply(prm["z"], tX), None
 
         stats = loss_estimator_statistics(p, control_fn, params, K=K,
-                                          delta_t=0.005, key=key)
+                                          delta_t=0.005, key=key,
+                                          n_chunks=max(1, K * d
+                                                       // 100_000_000))
         print(f"d={d:2d}: RE[cross-entropy] = "
               f"{relative_error(stats, 'CE_detach'):9.3f}   "
               f"RE[log-variance] = {relative_error(stats, 'var'):7.3f}")
