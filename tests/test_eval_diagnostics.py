@@ -74,3 +74,18 @@ def test_plotting_and_exp_logs(tmp_path):
     path = save_exp_logs([s], "exp", log_dir=str(tmp_path))
     logs = load_exp_logs(path.split("/")[-1], log_dir=str(tmp_path))
     assert "m" in logs and len(logs["m"]["loss"]) == 4
+
+
+def test_make_is_runner_cached(key):
+    """jit-once IS runner matches the one-shot importance_sampling path."""
+    from pspde.eval import importance_sampling, make_is_runner
+    from pspde.solvers import HJBSolver
+    p = LLGC(d=2, T=0.5)
+    s = HJBSolver("r", p, L=1, K=16, delta_t=0.05, time_approx="inner",
+                  verbose=False, early_stopping_time=None)
+    run = make_is_runner(p, s, K=2048, delta_t=0.05)
+    mean1, _, rel1 = jax.device_get(run(s.params, key))
+    mean2, _, rel2 = importance_sampling(p, s, K=2048, delta_t=0.05,
+                                         key=key)
+    np.testing.assert_allclose(float(mean1), mean2, rtol=1e-4)
+    np.testing.assert_allclose(float(rel1), rel2, rtol=1e-3)
