@@ -17,7 +17,6 @@ First-class rebuild of the inline training loops of
 
 from __future__ import annotations
 
-import time
 from datetime import date
 
 import jax
@@ -26,9 +25,11 @@ import numpy as np
 import optax
 
 from ..ansatz import DenseNet, ScalarParam
+from ..parallel.mesh import constrain_batch
 from ..rollout.sampling import (inside_fn, sample_boundary_reflected,
                                 sample_domain)
 from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+from ._chunk import run_training
 
 
 def hat_function(x):
@@ -65,7 +66,7 @@ class EigenSolver:
                  normalization="center", norm_penalty_weight=0.01,
                  hat_weight=1.0, adaptive_forward_process=False,
                  detach_forward=True, print_every=100, verbose=True,
-                 value_net=None, remat=None):
+                 value_net=None, remat=None, mesh=None, steps_per_call=1):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -86,6 +87,9 @@ class EigenSolver:
         self.detach_forward = detach_forward
         self.print_every = print_every
         self.verbose = verbose
+        # With a mesh, the K-path ensemble axis is sharded over 'dp'.
+        self.mesh = mesh
+        self.steps_per_call = steps_per_call
         self.remat = (N > 512) if remat is None else remat
 
         key = jax.random.PRNGKey(seed)
@@ -116,7 +120,6 @@ class EigenSolver:
         self.V_L2_log = []
         self.lambda_log = []
         self.times = []
-        self._step = None
 
     # ------------------------------------------------------------------
     def _v_fn(self, params):
@@ -151,7 +154,8 @@ class EigenSolver:
                 center_l = jnp.mean((v_fn(Xc) - problem.v_ref(Xc)) ** 2)
                 loss = loss + center_l
             else:
-                X2 = sample_domain(kn, geom, K, d)
+                X2 = constrain_batch(sample_domain(kn, geom, K, d),
+                                     self.mesh)
                 m2 = jnp.mean(v_fn(X2) ** 2)
                 loss = loss + self.hat_weight * hat_function(m2)
                 center_l = self.norm_penalty_weight * (m2 - 1.0) ** 2
@@ -171,7 +175,7 @@ class EigenSolver:
             loss = loss + a1 * dbound_l
             aux["dboundary"] = dbound_l
 
-            X0 = sample_domain(kd, geom, K, d)
+            X0 = constrain_batch(sample_domain(kd, geom, K, d), self.mesh)
             phi_0 = v_fn(X0)
             shifted = _LambdaShiftedProblem(problem, lam)
 
@@ -198,7 +202,7 @@ class EigenSolver:
             aux["loss"] = loss
             return params, opt_state, aux
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
     # ------------------------------------------------------------------
 
@@ -218,27 +222,24 @@ class EigenSolver:
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
 
+    def _record(self, aux):
+        self.loss_log.append(float(aux["loss"]))
+        self.loss_log_center.append(float(aux["center"]))
+        self.loss_log_boundary.append(float(aux["boundary"]))
+        self.loss_log_derivative_boundary.append(float(aux["dboundary"]))
+        self.loss_log_domain.append(float(aux["domain"]))
+        self.V_L2_log.append(float(aux["V_L2"]))
+        self.lambda_log.append(float(aux["lambda"]))
+
+    def _maybe_print(self, done, n):
+        first = done - n
+        if self.verbose and (first == 0 or first // self.print_every
+                             != done // self.print_every):
+            print("%d - loss = %.4e, v L2 error = %.4e, "
+                  "lambda = %.4e, %.2f"
+                  % (done - 1, self.loss_log[-1], self.V_L2_log[-1],
+                     self.lambda_log[-1],
+                     np.mean(self.times[-self.print_every:])))
+
     def train(self):
-        if self._step is None:
-            self._step = self._build_step()
-        key = self._train_key
-        for l in range(self.L):
-            t0 = time.time()
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, aux = self._step(
-                self.params, self.opt_state, sub)
-            aux = jax.device_get(aux)
-            self.loss_log.append(float(aux["loss"]))
-            self.loss_log_center.append(float(aux["center"]))
-            self.loss_log_boundary.append(float(aux["boundary"]))
-            self.loss_log_derivative_boundary.append(float(aux["dboundary"]))
-            self.loss_log_domain.append(float(aux["domain"]))
-            self.V_L2_log.append(float(aux["V_L2"]))
-            self.lambda_log.append(float(aux["lambda"]))
-            self.times.append(time.time() - t0)
-            if self.verbose and l % self.print_every == 0:
-                print("%d - loss = %.4e, v L2 error = %.4e, "
-                      "lambda = %.4e, %.2f"
-                      % (l, self.loss_log[-1], self.V_L2_log[-1],
-                         self.lambda_log[-1],
-                         np.mean(self.times[-self.print_every:])))
+        run_training(self, self._build_step())

@@ -10,7 +10,6 @@ boundary (Dirichlet/Neumann) penalties (solver.py:1062-1074).
 
 from __future__ import annotations
 
-import time
 from datetime import date
 
 import jax
@@ -20,8 +19,10 @@ import optax
 
 from ..ansatz import DenseNet
 from ..losses.pinn import parabolic_pinn_residual
+from ..parallel.mesh import constrain_batch
 from ..rollout.sampling import inside_fn, sample_boundary, sample_domain
 from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+from ._chunk import run_training
 from .elliptic import masked_mean
 
 
@@ -37,7 +38,7 @@ class GeneralSolver:
                  PINN_log_variance=False, log_loss_parts=False,
                  boundary_loss=True, full_hessian=False,
                  uniform_square=False, solve_linear_L2_projection=False,
-                 value_net=None, remat=None, mesh=None):
+                 value_net=None, remat=None, mesh=None, steps_per_call=1):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -66,7 +67,11 @@ class GeneralSolver:
         self.print_every = print_every
         self.verbose = verbose
         self.log_loss_parts = log_loss_parts
+        # With a mesh, the K-path ensemble axis is sharded over 'dp'
+        # (constraints on the rollout start state; GSPMD turns the loss
+        # means into all-reduces); params stay replicated.
         self.mesh = mesh
+        self.steps_per_call = steps_per_call
         self.remat = (N > 512) if remat is None else remat
 
         key = jax.random.PRNGKey(seed)
@@ -87,9 +92,6 @@ class GeneralSolver:
         self.K_log = []
         self.times = []
         self.not_all_stopped_count = 0
-
-        self._step = None
-        self._test_fn = None
 
         # Coverage guard: with an unbounded geometry the terminal loss only
         # pins V(. , T) on the sampled ball; if the diffusion spread
@@ -187,9 +189,10 @@ class GeneralSolver:
             loss = jnp.float32(0.0)
             aux = {}
 
-            X0 = sample_domain(kd, geom, K, d,
-                               uniform_square=self.uniform_square)
-            t0 = jax.random.uniform(kt, (K,)) * T
+            X0 = constrain_batch(
+                sample_domain(kd, geom, K, d,
+                              uniform_square=self.uniform_square), self.mesh)
+            t0 = constrain_batch(jax.random.uniform(kt, (K,)) * T, self.mesh)
 
             bound_l = jnp.float32(0.0)
             if lm not in ("BSDE-4", "BSDE") and self.boundary_loss:
@@ -210,6 +213,7 @@ class GeneralSolver:
                 Y0 = v_fn(X0, t0)
             else:
                 Y0 = jnp.zeros((K,))
+            Y0 = constrain_batch(Y0, self.mesh)
 
             out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0, t0,
                                   kr, ins)
@@ -255,9 +259,10 @@ class GeneralSolver:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             aux["loss"] = loss
+            self._add_test_metrics(params, key, aux)
             return params, opt_state, aux
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
     def _build_pinn_step(self):
         problem = self.problem
@@ -302,21 +307,23 @@ class GeneralSolver:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             aux["loss"] = loss
+            self._add_test_metrics(params, key, aux)
             return params, opt_state, aux
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
-    def _build_test_fn(self):
+    def _add_test_metrics(self, params, key, aux):
+        """Fresh-sample test error, computed inside the jitted step (one
+        dispatch per iteration instead of two)."""
+        if self.K_test_log is None:
+            return
         from ..eval.test_error import compute_test_error
         net = self.V_net
-
-        @jax.jit
-        def fn(params, key):
-            v_fn = lambda XT: net.apply(params, XT)[:, 0]
-            return compute_test_error(v_fn, self.problem, self.K_test_log,
-                                      key, modus="parabolic")
-
-        return fn
+        v_fn = lambda XT: net.apply(params, XT)[:, 0]
+        L2, mae, mre = compute_test_error(
+            v_fn, self.problem, self.K_test_log,
+            jax.random.fold_in(key, 7), modus="parabolic")
+        aux["test_L2"], aux["test_abs"], aux["test_rel_abs"] = L2, mae, mre
 
     # ------------------------------------------------------------------
 
@@ -336,38 +343,30 @@ class GeneralSolver:
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
 
-    def train(self):
-        if self._step is None:
-            self._step = (self._build_pinn_step()
-                          if self.loss_method == "PINN"
-                          else self._build_step())
-        if self.K_test_log is not None and self._test_fn is None:
-            self._test_fn = self._build_test_fn()
+    def _record(self, aux):
+        """Append one iteration's metrics to the reference-name logs."""
+        self.loss_log.append(float(aux["loss"]))
+        self.V_L2_log.append(float(aux["V_L2"]))
+        self.K_log.append(float(aux["K_count"]))
+        if not bool(aux["all_stopped"]) and self.loss_method in (
+                "BSDE", "BSDE-4"):
+            self.not_all_stopped_count += 1
+        if self.log_loss_parts:
+            self.loss_log_domain.append(float(aux["domain"]))
+            self.loss_log_boundary.append(float(aux["boundary"]))
+        if self.K_test_log is not None:
+            self.V_test_L2.append(float(aux["test_L2"]))
+            self.V_test_abs.append(float(aux["test_abs"]))
+            self.V_test_rel_abs.append(float(aux["test_rel_abs"]))
 
-        key = self._train_key
-        for l in range(self.L):
-            t0 = time.time()
-            key, sub = jax.random.split(key)
-            self.params, self.opt_state, aux = self._step(
-                self.params, self.opt_state, sub)
-            aux = jax.device_get(aux)
-            self.loss_log.append(float(aux["loss"]))
-            self.V_L2_log.append(float(aux["V_L2"]))
-            self.K_log.append(float(aux["K_count"]))
-            if not bool(aux["all_stopped"]) and self.loss_method in (
-                    "BSDE", "BSDE-4"):
-                self.not_all_stopped_count += 1
-            if self.log_loss_parts:
-                self.loss_log_domain.append(float(aux["domain"]))
-                self.loss_log_boundary.append(float(aux["boundary"]))
-            if self.K_test_log is not None:
-                L2, mae, mre = jax.device_get(
-                    self._test_fn(self.params, jax.random.fold_in(sub, 7)))
-                self.V_test_L2.append(float(L2))
-                self.V_test_abs.append(float(mae))
-                self.V_test_rel_abs.append(float(mre))
-            self.times.append(time.time() - t0)
-            if self.verbose and l % self.print_every == 0:
-                print("%d - loss = %.4e, v L2 error = %.4e, %.2f"
-                      % (l, self.loss_log[-1], self.V_L2_log[-1],
-                         np.mean(self.times[-self.print_every:])))
+    def _maybe_print(self, done, n):
+        first = done - n
+        if self.verbose and (first == 0 or first // self.print_every
+                             != done // self.print_every):
+            print("%d - loss = %.4e, v L2 error = %.4e, %.2f"
+                  % (done - 1, self.loss_log[-1], self.V_L2_log[-1],
+                     np.mean(self.times[-self.print_every:])))
+
+    def train(self):
+        run_training(self, self._build_pinn_step()
+                     if self.loss_method == "PINN" else self._build_step())

@@ -32,6 +32,7 @@ from ..ansatz import DenseNet, ScalarParam, TanhMLP
 from ..losses.pathspace import (hjb_loss, log_variance_y0_losses)
 from ..rollout.sde import (HJBRolloutConfig, hjb_rollout,
                            hjb_rollout_batched_grad)
+from ._chunk import run_training
 
 
 def init_stacked(module, key, n_copies: int, sample_in: jnp.ndarray):
@@ -68,7 +69,7 @@ class HJBSolver:
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32,
-                 rollout_mode="scan"):
+                 rollout_mode="scan", steps_per_call=1):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -113,6 +114,7 @@ class HJBSolver:
         self.compute_gradient_variance = compute_gradient_variance
         self.log_gradient = log_gradient
         self.mesh = mesh
+        self.steps_per_call = steps_per_call
         self.remat = (self.N > 512) if remat is None else remat
         # 'scan' (default: lax.scan with optional remat) or 'batched_grad'
         # (gradient-free forward + one flattened (N*K)-row differentiable
@@ -358,11 +360,12 @@ class HJBSolver:
             metrics.update(_extra_metrics(params, aux["X"]))
             return params, opt_state, metrics
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
     def _get_step(self, phase: int):
         if phase not in self._step_fns:
-            self._step_fns[phase] = self._build_step(phase)
+            self._step_fns[phase] = jax.jit(self._build_step(phase),
+                                            donate_argnums=(0, 1))
         return self._step_fns[phase]
 
     def _phase(self, l: int) -> int:
@@ -372,6 +375,36 @@ class HJBSolver:
             return 0 if l < 1000 else 1
         return 0
 
+    def _record(self, m):
+        self.loss_log.append(float(m["loss"]))
+        self.u_L2_loss.append(float(m["u_l2"]))
+        if "Y_0" in m:
+            self.Y_0_log.append(float(m["Y_0"]))
+        if "meta_frac" in m:
+            self.particles_close_to_target.append(float(m["meta_frac"]))
+        if self.log_gradient and "grad_flat" in m:
+            self.gradient_log.append(np.asarray(m["grad_flat"]))
+
+    def _maybe_print(self, done, n):
+        first = done - n
+        if self.verbose and (first == 0 or first // self.print_every
+                             != done // self.print_every):
+            s = ("%d - loss: %.4e - u L2: %.4e - time/iter: %.2fs"
+                 % (done - 1, self.loss_log[-1], self.u_L2_loss[-1],
+                    np.mean(self.times[-self.print_every:])))
+            if self.Y_0_log:
+                s += " - Y_0: %.4e" % self.Y_0_log[-1]
+            print(s)
+
+    def _early_stop(self, done):
+        """u-L2 plateau early stopping (solver.py:550-554); in chunked
+        mode checked at chunk boundaries."""
+        est = self.early_stopping_time
+        if est is None or done <= est:
+            return False
+        return (np.std(self.u_L2_loss[-est:])
+                / (self.u_L2_loss[-1] + 1e-30) < 0.02)
+
     # ---------------------------------------------------------------------
     def train(self):
         if self.verbose:
@@ -380,6 +413,18 @@ class HJBSolver:
                   % (self.d, self.L, self.K, self.delta_t, self.lr,
                      self.approx_method, self.time_approx, self.loss_method,
                      "adaptive" if self.adaptive_forward_process else ""))
+        # Scan-chunked fast path: valid when the step is phase-static and
+        # no per-iteration host-side diagnostics are interleaved.
+        if (self.steps_per_call > 1
+                and self.loss_method not in (
+                    "log-variance-repa", "relative_entropy_log-variance")
+                and self.compute_gradient_variance == 0
+                and self.IS_variance_K == 0):
+            run_training(self, self._build_step(0),
+                         stop_check=self._early_stop)
+            if self.save_results:
+                self.save_logs()
+            return
         key = self._train_key
         rel_IS = None
         for l in range(self.L):
@@ -416,6 +461,7 @@ class HJBSolver:
                 self.IS_rel_log.append(float(rel_IS))
 
             self.times.append(time.time() - t0)
+            self._train_key = key
 
             if self.verbose and l % self.print_every == 0:
                 s = ("%d - loss: %.4e - u L2: %.4e - time/iter: %.2fs"
