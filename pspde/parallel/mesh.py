@@ -28,14 +28,21 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     After this, ``jax.devices()`` spans all hosts and the same
     ``make_mesh`` + sharding-constraint path scales across the pod: XLA
     routes the dp all-reduces over ICI within a slice and DCN across
-    slices.  No-op when JAX was already initialized or env-based
-    auto-detection applies (Cloud TPU sets the env for you)."""
+    slices.  Benign no-op ONLY when JAX distributed was already
+    initialized (e.g. Cloud TPU env auto-detection ran first); any other
+    failure — bad coordinator address, port clash, inconsistent process
+    counts — re-raises so a half-initialized pod run cannot masquerade
+    as success."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        # jax raises 'distributed.initialize should only be called once.'
+        msg = str(e).lower()
+        if "only be called once" in msg or "already initialized" in msg:
+            return
+        raise
 
 
 def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1,

@@ -55,11 +55,17 @@ def run_training(solver, step_core, stop_check=None):
     L = solver.L
     spc, n_full, rem = chunk_sizes(L, getattr(solver, "steps_per_call", 1))
     chunked = make_chunked_step(step_core, spc) if n_full and spc > 1 else None
-    single = (jax.jit(step_core, donate_argnums=(0, 1))
-              if spc == 1 or rem else None)
+    # lazy: the remainder (or a resume offset) may need single steps even
+    # when L divides steps_per_call
+    _single = []
+
+    def single(params, opt_state, sub):
+        if not _single:
+            _single.append(jax.jit(step_core, donate_argnums=(0, 1)))
+        return _single[0](params, opt_state, sub)
 
     key = solver._train_key
-    done = 0
+    done = getattr(solver, "step", 0)  # resume point (load_training_state)
     while done < L:
         t0 = time.time()
         if chunked is not None and L - done >= spc:
@@ -79,6 +85,7 @@ def run_training(solver, step_core, stop_check=None):
             solver._record(row)
             solver.times.append(per_iter)
         done += n
+        solver.step = done
         solver._train_key = key
         solver._maybe_print(done, n)
         if stop_check is not None and stop_check(done):

@@ -60,6 +60,10 @@ class EigenSolver:
     eigenfunction value) or 'l2_penalty' (Schroedinger notebooks:
     (E[V^2]-1)^2 penalty + hat barrier)."""
 
+    _LOG_ATTRS = ("loss_log", "loss_log_boundary",
+                  "loss_log_derivative_boundary", "loss_log_domain",
+                  "loss_log_center", "V_L2_log", "lambda_log", "times")
+
     def __init__(self, problem, name, seed=42, delta_t=1e-3, N=20, lr=0.001,
                  lr_lambda=None, lambda_init=0.5, L=100000, K=500,
                  K_boundary=50, alpha=(50.0, 1.0),
@@ -120,6 +124,7 @@ class EigenSolver:
         self.V_L2_log = []
         self.lambda_log = []
         self.times = []
+        self.step = 0
 
     # ------------------------------------------------------------------
     def _v_fn(self, params):
@@ -221,6 +226,19 @@ class EigenSolver:
         from ..utils.checkpoint import load_params
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
+
+    def save_training_state(self, out_dir="output"):
+        """Full resume checkpoint: params, opt state, RNG key, step, logs."""
+        import os
+        from ..utils.checkpoint import save_training_state
+        os.makedirs(out_dir, exist_ok=True)
+        return save_training_state(
+            os.path.join(out_dir, "%s_%s_state" % (self.name, self.date)),
+            self)
+
+    def load_training_state(self, path):
+        from ..utils.checkpoint import load_training_state
+        load_training_state(path, self)
 
     def _record(self, aux):
         self.loss_log.append(float(aux["loss"]))

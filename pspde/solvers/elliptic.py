@@ -41,6 +41,10 @@ def masked_mean(x, mask):
 class EllipticSolver:
     """Constructor kwargs mirror solver.py:562-566."""
 
+    _LOG_ATTRS = ("loss_log", "loss_log_domain", "loss_log_boundary",
+                  "V_L2_log", "V_test_L2", "V_test_abs", "V_test_rel_abs",
+                  "K_log", "times", "not_all_stopped_count")
+
     def __init__(self, problem, name, seed=42, delta_t=0.01, N=50, lr=0.001,
                  L=100000, K=200, K_boundary=50, alpha=(1.0, 1.0),
                  adaptive_forward_process=False, detach_forward=True,
@@ -106,6 +110,7 @@ class EllipticSolver:
         self.K_log = []
         self.times = []
         self.not_all_stopped_count = 0
+        self.step = 0
 
 
     # ------------------------------------------------------------------
@@ -294,6 +299,19 @@ class EllipticSolver:
         from ..utils.checkpoint import load_params
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
+
+    def save_training_state(self, out_dir="output"):
+        """Full resume checkpoint: params, opt state, RNG key, step, logs."""
+        import os
+        from ..utils.checkpoint import save_training_state
+        os.makedirs(out_dir, exist_ok=True)
+        return save_training_state(
+            os.path.join(out_dir, "%s_%s_state" % (self.name, self.date)),
+            self)
+
+    def load_training_state(self, path):
+        from ..utils.checkpoint import load_training_state
+        load_training_state(path, self)
 
     def _record(self, aux):
         """Append one iteration's metrics to the reference-name logs."""

@@ -29,6 +29,10 @@ from .elliptic import masked_mean
 class GeneralSolver:
     """Constructor kwargs mirror solver.py:936-940."""
 
+    _LOG_ATTRS = ("loss_log", "loss_log_domain", "loss_log_boundary",
+                  "V_L2_log", "V_test_L2", "V_test_abs", "V_test_rel_abs",
+                  "K_log", "times", "not_all_stopped_count")
+
     def __init__(self, problem, name, seed=42, delta_t=0.01, N=50, lr=0.001,
                  L=100000, K=200, K_boundary=50, alpha=(1.0, 1.0, 1.0),
                  adaptive_forward_process=False, detach_forward=True,
@@ -92,6 +96,7 @@ class GeneralSolver:
         self.K_log = []
         self.times = []
         self.not_all_stopped_count = 0
+        self.step = 0
 
         # Coverage guard: with an unbounded geometry the terminal loss only
         # pins V(. , T) on the sampled ball; if the diffusion spread
@@ -342,6 +347,19 @@ class GeneralSolver:
         from ..utils.checkpoint import load_params
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
+
+    def save_training_state(self, out_dir="output"):
+        """Full resume checkpoint: params, opt state, RNG key, step, logs."""
+        import os
+        from ..utils.checkpoint import save_training_state
+        os.makedirs(out_dir, exist_ok=True)
+        return save_training_state(
+            os.path.join(out_dir, "%s_%s_state" % (self.name, self.date)),
+            self)
+
+    def load_training_state(self, path):
+        from ..utils.checkpoint import load_training_state
+        load_training_state(path, self)
 
     def _record(self, aux):
         """Append one iteration's metrics to the reference-name logs."""

@@ -187,6 +187,7 @@ class HJBSolver:
         self.particles_close_to_target = []
         self.grads_rel_error_log = []
         self.gradient_log = []
+        self.step = 0
 
         self._step_fns = {}
 
@@ -427,7 +428,7 @@ class HJBSolver:
             return
         key = self._train_key
         rel_IS = None
-        for l in range(self.L):
+        for l in range(self.step, self.L):
             t0 = time.time()
             key, sub = jax.random.split(key)
             step = self._get_step(self._phase(l))
@@ -461,6 +462,7 @@ class HJBSolver:
                 self.IS_rel_log.append(float(rel_IS))
 
             self.times.append(time.time() - t0)
+            self.step = l + 1
             self._train_key = key
 
             if self.verbose and l % self.print_every == 0:
@@ -540,6 +542,10 @@ class HJBSolver:
                       % (l, self.loss_log[-1],
                          np.mean(self.times[-self.print_every:])))
 
+    _LOG_ATTRS = ("loss_log", "u_L2_loss", "Y_0_log", "IS_rel_log",
+                  "times", "particles_close_to_target",
+                  "grads_rel_error_log")
+
     # -- persistence (solver.py:283-332) -----------------------------------
     def save_logs(self, model_name="model", log_dir="logs"):
         os.makedirs(log_dir, exist_ok=True)
@@ -578,3 +584,16 @@ class HJBSolver:
         from ..utils.checkpoint import load_params
         self.params, self.opt_state = load_params(
             path, self.params, self.opt_state)
+
+    def save_training_state(self, out_dir="output"):
+        """Full resume checkpoint: params, opt state, RNG key, step, logs."""
+        import os
+        from ..utils.checkpoint import save_training_state
+        os.makedirs(out_dir, exist_ok=True)
+        return save_training_state(
+            os.path.join(out_dir, "%s_%s_state" % (self.name, self.date)),
+            self)
+
+    def load_training_state(self, path):
+        from ..utils.checkpoint import load_training_state
+        load_training_state(path, self)

@@ -32,3 +32,44 @@ def load_params(path: str, params_like, opt_state_like=None):
         target["opt_state"] = opt_state_like
     restored = ckptr.restore(path, target)
     return restored["params"], restored.get("opt_state", opt_state_like)
+
+
+def save_training_state(path: str, solver):
+    """Full failure-recovery checkpoint (SURVEY.md section 5.3/5.4):
+    params + optimizer state + the training PRNG key (orbax) and the step
+    counter + metric logs (JSON sidecar).  ``load_training_state`` then
+    resumes ``train()`` mid-run with the identical trajectory the
+    uninterrupted run would have produced (same noise stream, same Adam
+    moments, contiguous logs)."""
+    import json
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": solver.params,
+                      "opt_state": solver.opt_state,
+                      "train_key": solver._train_key}, force=True)
+    ckptr.wait_until_finished()
+    logs = {name: getattr(solver, name) for name in solver._LOG_ATTRS}
+    with open(path + ".logs.json", "w") as f:
+        json.dump({"step": solver.step, "logs": logs}, f)
+    return path
+
+
+def load_training_state(path: str, solver):
+    """Restore a ``save_training_state`` checkpoint into `solver`."""
+    import json
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, {"params": solver.params,
+                                    "opt_state": solver.opt_state,
+                                    "train_key": solver._train_key})
+    solver.params = restored["params"]
+    solver.opt_state = restored["opt_state"]
+    solver._train_key = restored["train_key"]
+    with open(path + ".logs.json") as f:
+        meta = json.load(f)
+    solver.step = int(meta["step"])
+    for name, value in meta["logs"].items():
+        setattr(solver, name, value)
+    return solver
