@@ -186,8 +186,18 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
                               interpret: bool = False, verbose: bool = False):
     """Importance-sampling diagnostics on the fused Pallas rollout kernel:
     the whole N-step controlled simulation runs inside one TPU kernel with
-    VMEM-resident state (rollout/kernels.py).  Only 'inner' (time-concat)
-    controls; returns (mean_IS, var_IS, rel_IS)."""
+    VMEM-resident state (rollout/kernels.py).  Returns
+    (mean_IS, var_IS, rel_IS).
+
+    Restrictions (use :func:`importance_sampling` when they don't hold):
+      * only 'inner' (time-concat) controls;
+      * STATE-INDEPENDENT sigma — the kernel applies
+        ``problem.sigma_struct`` as a constant matrix/diagonal, so a
+        sigma(x) problem would silently use sigma evaluated structurally;
+      * the control-net weights must fit in VMEM alongside a path tile —
+        the kernel estimates the footprint, auto-shrinks the tile, and
+        raises with the estimate if the weights alone exceed the budget.
+    """
     assert model.time_approx == "inner", "fused IS requires 'inner' control"
     from ..rollout.kernels import fused_controlled_rollout
     N = int(np.ceil(problem.T / delta_t))

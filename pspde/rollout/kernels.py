@@ -71,13 +71,48 @@ def fused_controlled_rollout(
     tile: int = 512,
     interpret: bool = False,
     host_noise: "jnp.ndarray | None" = None,  # (N, K, d): test/CPU mode
+    vmem_budget_bytes: int = 96 * 2**20,      # ~3/4 of a v5e core's VMEM
 ) -> ISRolloutOut:
     """Simulate dX_u = (b(X_u) + sigma u) dt + sigma dW with
-    u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals."""
+    u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals.
+
+    sigma must be STATE-INDEPENDENT (``problem.sigma_struct`` applied as a
+    constant matrix/diagonal).  The kernel keeps the weights and one path
+    tile resident in VMEM; the tile is auto-shrunk when the estimated
+    footprint exceeds ``vmem_budget_bytes`` and a ValueError (with the
+    estimate) is raised when the weights alone cannot fit."""
     d = problem.d
     sig = problem.sigma_struct
     dt = np.float32(delta_t)
     sq_dt = np.float32(np.sqrt(delta_t))
+
+    # -- VMEM guardrail: weights + consts are fully resident, plus per-tile
+    # state/activations (and the whole (N, tile, d) noise block in
+    # host-noise mode).  Auto-shrink the tile to fit; raise a clear error
+    # when the resident weights alone cannot fit.
+    weight_bytes = sum(int(np.prod(x.shape)) * 4 for x in param_leaves)
+    hidden_out = sum(int(x.shape[-1]) for x in param_leaves
+                     if getattr(x, "ndim", 0) >= 2)
+
+    def vmem_estimate(t):
+        # X, xi, tX, u, acc + concat-skip activations (2x hidden widths),
+        # double-buffered output tile; 4-byte f32 everywhere
+        act = 4 * t * (2 * hidden_out + 6 * d + 16)
+        noise = 4 * N * t * d if host_noise is not None else 0
+        out = 2 * 4 * t * (-(-(d + 3) // 128) * 128)
+        return weight_bytes + act + noise + out
+
+    while tile > 8 and vmem_estimate(tile) > vmem_budget_bytes:
+        tile //= 2
+    if vmem_estimate(tile) > vmem_budget_bytes:
+        raise ValueError(
+            "fused_controlled_rollout: estimated VMEM footprint "
+            f"{vmem_estimate(tile) / 2**20:.1f} MiB (weights "
+            f"{weight_bytes / 2**20:.1f} MiB) exceeds the "
+            f"{vmem_budget_bytes / 2**20:.0f} MiB budget even at tile=8; "
+            "the control net is too large for the fused kernel - use the "
+            "scan path (eval.importance_sampling).")
+
     n_tiles = pl.cdiv(K, tile)
 
     def f_eval(x, t):

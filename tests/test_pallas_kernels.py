@@ -98,3 +98,33 @@ def test_fused_is_wrapper(key):
     mean2, var2, rel2 = isamp.importance_sampling(
         p, s, K=4096, delta_t=0.05, key=key)
     np.testing.assert_allclose(mean, mean2, rtol=0.1)
+
+
+def test_vmem_guardrail_autoshrinks_tile(key):
+    """A noise block too big for the budget shrinks the tile (result
+    identical, grid just has more programs)."""
+    p = LLGC(d=2, T=0.5)
+    u_apply, leaves = _linear_control(2, key)
+    K, N, dt = 1024, 10, 0.05
+    noise = jax.random.normal(key, (N, K, 2))
+    out = fused_controlled_rollout(p, u_apply, leaves, K, N, dt, seed=1,
+                                   tile=1024, interpret=True,
+                                   host_noise=noise,
+                                   vmem_budget_bytes=2 * 2**20)
+    ref = reference_controlled_rollout(p, u_apply, leaves, K, N, dt, key,
+                                       host_noise=noise)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               atol=2e-5)
+
+
+def test_vmem_guardrail_raises_on_oversized_weights(key):
+    p = LLGC(d=2, T=0.5)
+    W = jnp.zeros((4096, 4096))  # 64 MiB of weights
+
+    def u_apply(params, tX):
+        return tX[:, 1:] + params[0][0, 0]
+
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_controlled_rollout(p, u_apply, (W,), 64, 4, 0.05, seed=0,
+                                 interpret=True,
+                                 vmem_budget_bytes=8 * 2**20)
