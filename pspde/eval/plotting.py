@@ -248,8 +248,14 @@ def save_exp_logs(models, name, log_dir="logs"):
     os.makedirs(log_dir, exist_ok=True)
     exp_log = {}
     for m in models:
-        exp_log[m.name] = {"loss": m.loss_log, "u_L2_loss": m.u_L2_loss,
-                           "IS_rel_log": m.IS_rel_log}
+        entry = {"loss": m.loss_log}
+        # HJB solvers log u-L2/IS; elliptic/general/eigen log V-based
+        # metrics (solver.py:613-626) — save whichever exists.
+        for attr in ("u_L2_loss", "IS_rel_log", "V_L2_log", "V_test_L2",
+                     "V_test_abs", "V_test_rel_abs", "lambda_log"):
+            if getattr(m, attr, None):
+                entry[attr] = getattr(m, attr)
+        exp_log[m.name] = entry
     filename = "%s_%s.json" % (name, date.today().strftime("%Y-%m-%d"))
     with open(os.path.join(log_dir, filename), "w") as f:
         json.dump(exp_log, f)

@@ -67,10 +67,19 @@ def hjb_rollout(
     key: jax.Array,
     u_ref: Optional[Callable] = None,   # (X, n) -> (K, d)
 ) -> HJBRolloutOut:
-    """Forward ensemble rollout with backward value accumulation."""
+    """Forward ensemble rollout with backward value accumulation.
+
+    Mixed precision: the path state X (and hence the net compute, which
+    follows the input dtype) runs in ``X0.dtype`` — bf16 halves the
+    HBM-resident scan carry and activates the MXU bf16 path — while Y,
+    Z_sum and the error accumulators ALWAYS accumulate in float32
+    (SURVEY.md section 7: Girsanov/value integrals overflow or lose mass
+    in bf16)."""
     K, d = X0.shape
+    x_dtype = X0.dtype
     dt = jnp.float32(cfg.delta_t)
     sq_dt = jnp.sqrt(dt)
+    f32 = jnp.float32
     sig = problem.sigma_struct
 
     def step(carry, n):
@@ -83,7 +92,7 @@ def hjb_rollout(
             # solver.py:441-443: consistency penalty (V(X_n, t_n) - Y_n)^2
             # for n > 0
             add_loss = add_loss + jnp.where(
-                n > 0, (V_here - Y) ** 2, jnp.zeros_like(Y))
+                n > 0, (V_here.astype(f32) - Y) ** 2, jnp.zeros_like(Y))
 
         if cfg.repa_phase is not None and cfg.repa_phase == 0:
             # even iteration of 'log-variance-repa' (solver.py:444-447):
@@ -105,10 +114,13 @@ def hjb_rollout(
                                   and cfg.repa_phase == 1):
             c = lax.stop_gradient(c)
 
+        # noise in f32 (bf16 rounding would bias the accumulated
+        # integrals); the state update casts back to the carry dtype
         xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
-                               dtype=X.dtype)
+                               dtype=f32)
 
-        X_new = X + (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
+        X_new = (X + (problem.b(X) + sig.apply(c)) * dt
+                 + sig.apply(xi) * sq_dt).astype(x_dtype)
         if cfg.detach_forward:
             # with a detached control the X chain carries no parameter
             # gradient; cutting it explicitly prunes the (useless but
@@ -116,26 +128,29 @@ def hjb_rollout(
             # backward matmul per step at d=100
             X_new = lax.stop_gradient(X_new)
 
-        Zc = jnp.sum(Z_used * c, axis=-1)
-        Zxi = jnp.sum(Z_used * xi, axis=-1)
-        Y_new = Y + (-problem.h(t, X_new, Y, Z_used) + Zc) * dt + Zxi * sq_dt
+        Z32 = Z_used.astype(f32)
+        Zc = jnp.sum(Z32 * c.astype(f32), axis=-1)
+        Zxi = jnp.sum(Z32 * xi, axis=-1)
+        Y_new = (Y + (-problem.h(t, X_new, Y, Z_used).astype(f32) + Zc) * dt
+                 + Zxi * sq_dt)
 
         if cfg.reparametrization:
             # solver.py:459-466, 480-482: v from a frozen copy of the net
-            v = lax.stop_gradient(-Z)
+            v = lax.stop_gradient(-Z).astype(f32)
             Z_sum = Z_sum + (-0.5 * jnp.sum(v * v, axis=-1) * dt
-                             + jnp.sum(v * c, axis=-1) * dt
+                             + jnp.sum(v * c.astype(f32), axis=-1) * dt
                              + jnp.sum(v * xi, axis=-1) * sq_dt)
         if cfg.accumulate_kl:
             # solver.py:484-489
-            Z_sum = Z_sum + (0.5 * jnp.sum(Z_used * Z_used, axis=-1)
-                             + problem.f(X_new, t)) * dt
+            Z_sum = Z_sum + (0.5 * jnp.sum(Z32 * Z32, axis=-1)
+                             + problem.f(X_new, t).astype(f32)) * dt
             if cfg.kl_ito_term:
                 Z_sum = Z_sum - Zxi * sq_dt
 
         if cfg.track_u_l2 and u_ref is not None:
             # solver.py:491-494 (device-side table lookup, no host sync)
-            err = -lax.stop_gradient(Z_used) - u_ref(X_new, n)
+            err = (-lax.stop_gradient(Z32)
+                   - u_ref(X_new, n).astype(f32))
             u_l2 = u_l2 + jnp.sum(err * err, axis=-1) * dt
 
         return (X_new, Y_new, Z_sum, u_l2, add_loss), None
@@ -143,8 +158,8 @@ def hjb_rollout(
     if cfg.remat:
         step = jax.checkpoint(step, prevent_cse=False)
 
-    zeros = jnp.zeros((K,), dtype=X0.dtype)
-    carry0 = (X0, Y0, zeros, zeros, zeros)
+    zeros = jnp.zeros((K,), dtype=f32)
+    carry0 = (X0, Y0.astype(f32), zeros, zeros, zeros)
     (X, Y, Z_sum, u_l2, add_loss), _ = lax.scan(
         step, carry0, jnp.arange(cfg.N))
     return HJBRolloutOut(X, Y, Z_sum, u_l2, add_loss)

@@ -128,10 +128,13 @@ class HJBSolver:
         params = {}
         if approx_method == "control":
             d_in = self.d if time_approx == "outer" else self.d + 1
+            # params stay f32; a non-f32 dtype runs the net matmuls (and
+            # the rollout state) in that dtype, accumulators stay f32
+            cdt = None if dtype == jnp.float32 else dtype
             if control_net is None:
-                control_net = (DenseNet(d_out=self.d)
+                control_net = (DenseNet(d_out=self.d, compute_dtype=cdt)
                                if time_approx == "outer"
-                               else TanhMLP(d_out=self.d))
+                               else TanhMLP(d_out=self.d, compute_dtype=cdt))
             self.z_net = control_net
             sample = jnp.zeros((1, d_in), dtype=dtype)
             if time_approx == "outer":
