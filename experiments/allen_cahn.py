@@ -1,10 +1,20 @@
 """Allen-Cahn d=100: diffusion vs PINN vs BSDE.
 
 Reproduces "Allen-Cahn.ipynb": GeneralSolver on AllenCahn(d=100, T=0.3)
-with the diffusion loss (N=25, delta_t=1e-3, L=60k), PINN (L=60k) and
-BSDE (N=300, L=80k).  The reference value v(0, x=0) = 0.052802
-(literature; notebook cell 13).  Reference runtimes: 194 / 325 / 4280
-minutes on a CUDA GPU (cells 14-16).
+with the notebook's exact configs (cells 2/7/10):
+
+  * sampling ball radius 7.0 (cell 2: ``problem.boundary_distance = 7.0``),
+    uniform_square=True, net DenseNet(d_in=d+1, arch=[110, 110, 50]) on
+    EVERY leg, loss_with_stopped=False, K=200, K_boundary=50, lr=1e-3;
+  * diffusion / PINN: alpha0 sweep {10, 1, 0.1} (headline comparison
+    models: diffusion alpha0=10, PINN alpha0=0.1 — cell 13), N=25,
+    delta_t=1e-3, L=60k;
+  * BSDE: N=300, alpha=[1,1,1], L=80k.
+
+The reference value v(0, x=0) = 0.052802 (literature; cell 13 scatter).
+Reference runtimes: 194 / 325 / 4280 minutes on a CUDA GPU (cells 14-16).
+``--K``/``--L`` allow spending this framework's ~6x wall-clock margin on
+a lower-variance configuration.
 """
 
 import time
@@ -24,35 +34,55 @@ def v_at_origin(s):
 
 
 def main():
-    args = parse_args(default_L=60000)
+    args = parse_args(
+        default_L=60000,
+        extra={"--leg": dict(type=str, default="all"),
+               "--K": dict(type=int, default=200),
+               "--alphas": dict(type=str, default="10,1,0.1"),
+               "--steps-per-call": dict(type=int, default=100)})
     d = 100
     p = AllenCahn(d=d, T=0.3)
-    # notebook cell 1: sampling ball radius 7, cube-direction x uniform
+    # notebook cell 2: sampling ball radius 7, cube-direction x uniform
     # radius (uniform_square), net arch [110, 110, 50]
     from pspde.problems.base import Geometry
     p.geometry = Geometry(kind="unbounded", boundary_distance=7.0)
-    net = DenseNet(d_out=1, arch=(110, 110, 50))
-    configs = [
-        ("diffusion", dict(loss_method="diffusion", N=25, delta_t=1e-3,
-                           L=args.L)),
-        ("PINN", dict(loss_method="PINN", N=25, delta_t=1e-3, L=args.L)),
-        ("BSDE", dict(loss_method="BSDE", N=300, delta_t=1e-3,
-                      L=args.L * 4 // 3)),
-    ]
+
+    def net():
+        return DenseNet(d_out=1, arch=(110, 110, 50))
+
+    alphas = [float(a) for a in args.alphas.split(",")]
+    spc = 1 if args.smoke else args.steps_per_call
+    common = dict(seed=args.seed, lr=1e-3, K=args.K, K_boundary=50,
+                  uniform_square=True, loss_with_stopped=False,
+                  steps_per_call=spc)
+    configs = []
+    if args.leg in ("all", "diffusion"):
+        configs += [(f"diffusion a0={a0:g}",
+                     dict(loss_method="diffusion", N=25, delta_t=1e-3,
+                          L=args.L, alpha=(a0, 1.0, 1.0)))
+                    for a0 in alphas]
+    if args.leg in ("all", "pinn"):
+        configs += [(f"PINN a0={a0:g}",
+                     dict(loss_method="PINN", N=25, delta_t=1e-3,
+                          L=args.L, alpha=(a0, 1.0, 1.0)))
+                    for a0 in alphas]
+    if args.leg in ("all", "bsde"):
+        configs += [("BSDE", dict(loss_method="BSDE", N=300, delta_t=1e-3,
+                                  L=args.L * 4 // 3,
+                                  alpha=(1.0, 1.0, 1.0)))]
     models = []
     for name, kw in configs:
         t0 = time.time()
-        s = GeneralSolver(p, name, seed=args.seed, lr=1e-3, K=200,
-                          K_boundary=50, value_net=net,
-                          uniform_square=True,
-                          print_every=max(kw["L"] // 20, 1), **kw)
+        s = GeneralSolver(p, name, value_net=net(),
+                          print_every=max(kw["L"] // 20, 1),
+                          **common, **kw)
         s.train()
         mins = (time.time() - t0) / 60
         v0 = v_at_origin(s)
         print(f"  {name}: v(0,0) = {v0:.6f} (ref {V0_REF}), "
               f"rel err {abs(v0 - V0_REF) / V0_REF:.2%}, {mins:.1f} min")
         models.append(s)
-    save(models, "AllenCahn_d100", args)
+    save(models, f"AllenCahn_d100_{args.leg}", args)
 
 
 if __name__ == "__main__":

@@ -2,29 +2,37 @@
 
 Reproduces "Eigenvalue - Fokker-Planck.ipynb": learnable lambda
 (true value 0), periodic value+gradient boundary matching, center
-pinning; alpha=[50, 1], N=20, K=500, delta_t=1e-3, L=100k.  Reference:
-lambda within ~5e-3 of 0, eigenfunction L2 ~1.5e-5, 0.56 s/iter.
+pinning; the notebook's exact config (cells 3-4): DenseNet
+arch=[10,10,10,10] lr 1e-3, SingleParam lambda (init 0.5, lr 0.01),
+alpha=[50, 1], N=20, K=500, K_boundary=50, delta_t=1e-3, L=100k.
+Reference final (cell 4 output, iter 99900): lambda -8.85e-4 (true 0),
+eigenfunction L2 1.10e-5, ~0.56 s/iter.
 """
 
 import numpy as np
 from common import parse_args
 
+from pspde.ansatz import DenseNet
 from pspde.problems import FokkerPlanckEigen
 from pspde.solvers import EigenSolver
 
 
 def main():
-    args = parse_args(default_L=100000)
+    args = parse_args(default_L=100000,
+                      extra={"--steps-per-call": dict(type=int, default=100)})
     p = FokkerPlanckEigen(d=5)
+    net = DenseNet(d_out=1, arch=(10, 10, 10, 10))
     s = EigenSolver(p, "fp-eigen", seed=args.seed, delta_t=1e-3, N=20,
                     lr=1e-3, lr_lambda=0.01, lambda_init=0.5, L=args.L,
                     K=500, K_boundary=50, alpha=(50.0, 1.0),
-                    normalization="center",
+                    normalization="center", value_net=net,
+                    steps_per_call=1 if args.smoke else args.steps_per_call,
                     print_every=max(args.L // 20, 1))
     s.train()
     lam = np.mean(s.lambda_log[-200:])
     print(f"lambda = {lam:.4e} (true {p.lambda_true}), "
-          f"eigenfunction L2 = {s.V_L2_log[-1]:.3e}")
+          f"eigenfunction L2 = {s.V_L2_log[-1]:.3e}, "
+          f"train {sum(s.times):.0f}s")
 
 
 if __name__ == "__main__":

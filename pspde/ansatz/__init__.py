@@ -1,6 +1,6 @@
 from .nets import (Affine, BatchNormMLP, ConstantVector, DenseNet,
-                   DenseNetTanh, DenseNetTanh2, LinearLQ, ReluMLP1d,
-                   ScalarParam, Sines, TanhMLP)
+                   DenseNetRelu, DenseNetTanh, DenseNetTanh2, LinearLQ,
+                   ReluMLP1d, ScalarParam, Sines, TanhMLP)
 
 # Reference-name aliases (function_space.py class names)
 SingleParam = ScalarParam
@@ -13,7 +13,8 @@ DenseNet_tanh = DenseNetTanh
 DenseNet_tanh_2 = DenseNetTanh2
 
 __all__ = [
-    "Affine", "BatchNormMLP", "ConstantVector", "DenseNet", "DenseNetTanh",
+    "Affine", "BatchNormMLP", "ConstantVector", "DenseNet", "DenseNetRelu",
+    "DenseNetTanh",
     "DenseNetTanh2", "LinearLQ", "ReluMLP1d", "ScalarParam", "Sines",
     "TanhMLP", "SingleParam", "Constant", "Linear", "NN", "NN_Nik",
     "MySequential", "DenseNet_tanh", "DenseNet_tanh_2",

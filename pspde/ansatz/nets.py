@@ -122,6 +122,28 @@ class DenseNetTanh2(nn.Module):
                         bias_init=nn.initializers.zeros)(feats)
 
 
+class DenseNetRelu(nn.Module):
+    """Concat-skip net with plain relu hidden features, weights
+    0.01*randn + 0.01 and bias 0.1, linear output (the ``DenseNet_relu``
+    class local to "Eigenvalue - nonlinear Schroedinger equation,
+    d = 10.ipynb" cell 4)."""
+
+    d_out: int
+    arch: Sequence[int] = (30, 30)
+
+    @nn.compact
+    def __call__(self, x):
+        def kinit(key, shape, dtype=jnp.float32):
+            return 0.01 * jax.random.normal(key, shape, dtype) + 0.01
+        feats = x
+        for width in self.arch:
+            h = nn.Dense(width, kernel_init=kinit,
+                         bias_init=nn.initializers.constant(0.1))(feats)
+            feats = jnp.concatenate([feats, nn.relu(h)], axis=-1)
+        return nn.Dense(self.d_out, kernel_init=kinit,
+                        bias_init=nn.initializers.constant(0.1))(feats)
+
+
 class TanhMLP(nn.Module):
     """[d_in, 30, 30, d_out] tanh MLP with N(0, 0.01) weight AND bias init
     — the default 'inner' time-approx control net (``MySequential``,
