@@ -104,3 +104,27 @@ def test_densenet_tanh_variants(key):
         net = cls(d_out=2, arch=(10, 10))
         p = net.init(key, jnp.zeros((1, 3)))
         assert net.apply(p, jnp.zeros((4, 3))).shape == (4, 2)
+
+
+def test_densenet_relu(key):
+    """DenseNet_relu (Schroedinger d=10 notebook cell 4): concat-skip with
+    plain relu features, weights 0.01*randn + 0.01, biases 0.1."""
+    d_in, arch, d_out = 10, (15, 15, 15, 15), 1
+    net = ansatz.DenseNetRelu(d_out=d_out, arch=arch)
+    params = net.init(key, jnp.zeros((1, d_in)))
+    dims = [d_in, *arch, d_out]
+    expected = sum((sum(dims[:i + 1])) * dims[i + 1] + dims[i + 1]
+                   for i in range(len(dims) - 1))
+    assert _count(params) == expected
+    flat = jax.tree.flatten_with_path(params)[0]
+    kernels = [v for k, v in flat if "kernel" in str(k)]
+    biases = [v for k, v in flat if "bias" in str(k)]
+    assert all(abs(float(jnp.std(w)) - 0.01) < 0.005 for w in kernels)
+    assert all(abs(float(jnp.mean(w)) - 0.01) < 0.005 for w in kernels)
+    assert all(np.allclose(np.asarray(b), 0.1) for b in biases)
+    out = net.apply(params, jnp.ones((7, d_in)))
+    assert out.shape == (7, d_out)
+    # output layer is linear (no relu clamp): shifting the last-layer bias
+    # down must be able to produce negative outputs
+    neg = jax.tree.map(lambda x: x - 10.0 if x.ndim == 1 else x, params)
+    assert float(net.apply(neg, jnp.ones((1, d_in)))[0, 0]) < 0
