@@ -37,7 +37,8 @@ def main():
     args = parse_args(default_L=220000,
                       extra={"--bsde-n": dict(type=int, default=128),
                              "--leg": dict(type=str, default="all"),
-                             "--with-us": dict(action="store_true"),
+                             "--us": dict(type=str, default="false",
+                                          choices=["false", "true", "both"]),
                              "--steps-per-call": dict(type=int, default=200)})
     d = 50
     p = ExponentialOnBallNonlinearSin(d=d, alpha=1.0)
@@ -48,12 +49,14 @@ def main():
         # notebook override: DenseNet(d, 1, 0.001, arch=[d+20, d, d, d])
         return DenseNet(d_out=1, arch=(d + 20, d, d, d))
 
+    us_list = {"false": [False], "true": [True],
+               "both": [False, True]}[args.us]
     common = dict(seed=args.seed, delta_t=1e-3, N=20, lr=1e-3, K=200,
                   K_boundary=50, K_test_log=10000, steps_per_call=spc,
                   print_every=max(args.L // 20, 1))
     if args.leg in ("all", "diffusion"):
         for a0 in [0.1, 1.0, 10.0]:
-            for us in ([False, True] if args.with_us else [False]):
+            for us in us_list:
                 s = EllipticSolver(p, f"diffusion a0={a0:g} us={us}",
                                    L=args.L, alpha=(a0, 1.0),
                                    loss_method="diffusion",
@@ -63,7 +66,7 @@ def main():
                 models.append(s)
     if args.leg in ("all", "pinn"):
         for a0 in [1e-3, 1e-4, 1e-5]:
-            for us in ([False, True] if args.with_us else [False]):
+            for us in us_list:
                 s = EllipticSolver(p, f"PINN a0={a0:g} us={us}", L=args.L,
                                    alpha=(a0, 1.0), loss_method="PINN",
                                    uniform_square=us, value_net=net(),
@@ -83,7 +86,7 @@ def main():
         print(f"  {m.name}: test L2 {m.V_test_L2[-1]:.3e} "
               f"(best {min(m.V_test_L2):.3e}), in-path v_L2 "
               f"{m.V_L2_log[-1]:.3e}, {sum(m.times):.0f}s")
-    save(models, f"elliptic_dirichlet_d50_{args.leg}", args)
+    save(models, f"elliptic_dirichlet_d50_{args.leg}_us{args.us}", args)
 
 
 if __name__ == "__main__":

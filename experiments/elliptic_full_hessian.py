@@ -15,13 +15,14 @@ def main():
     args = parse_args(default_L=100000)
     p = ExponentialOnBallNonlinearSinHessian(d=20, alpha=1.0)
     models = []
+    spc = 1 if args.smoke else 100
     for name, kw in [
         ("diffusion", dict(loss_method="diffusion")),
         ("PINN full-hessian", dict(loss_method="PINN", full_hessian=True)),
     ]:
         s = EllipticSolver(p, name, seed=args.seed, delta_t=1e-3, N=20,
                            lr=1e-3, L=args.L, K=200, K_boundary=50,
-                           K_test_log=10000,
+                           K_test_log=10000, steps_per_call=spc,
                            print_every=max(args.L // 20, 1), **kw)
         s.train()
         models.append(s)

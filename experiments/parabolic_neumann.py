@@ -16,11 +16,13 @@ def main():
     p = ExponentialOnSphereNonlinearParabolic(d=20, T=1.0, alpha=1.0)
     p.boundary_type = "Neumann"
     models = []
+    spc = 1 if args.smoke else 100
     for a2 in [0.1, 1.0, 10.0, 100.0]:
         s = GeneralSolver(p, f"diffusion a2={a2:g}", seed=args.seed,
                           delta_t=1e-3, N=20, lr=1e-3, L=args.L, K=200,
                           K_boundary=50, alpha=(1.0, 1.0, a2),
                           loss_method="diffusion", K_test_log=10000,
+                          steps_per_call=spc,
                           print_every=max(args.L // 20, 1))
         s.train()
         models.append(s)
