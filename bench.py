@@ -31,7 +31,8 @@ REFERENCE_PATH_STEPS_PER_SEC = 15_000.0
 V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def measure(dtype, K=65536, d=100, steps_per_call=10, n_chunks=3):
+def measure(dtype, K=131072, d=100, steps_per_call=20, n_chunks=3,
+            rollout_mode="scan"):
     from pspde.problems import LLGC
     from pspde.solvers import HJBSolver
     from pspde.solvers._chunk import make_chunked_step
@@ -44,6 +45,7 @@ def measure(dtype, K=65536, d=100, steps_per_call=10, n_chunks=3):
         time_approx="inner", loss_method="log-variance",
         detach_forward=True, learn_Y_0=True, verbose=False,
         early_stopping_time=None, remat=True, dtype=dtype,
+        rollout_mode=rollout_mode,
     )
     N = solver.N
     chunk = make_chunked_step(solver._build_step(0), steps_per_call)
@@ -81,7 +83,15 @@ def measure(dtype, K=65536, d=100, steps_per_call=10, n_chunks=3):
 def main():
     f32 = measure(jnp.float32)
     bf16 = measure(jnp.bfloat16)
-    best = max(f32, bf16, key=lambda r: r["path_steps_per_sec"])
+    results = {"f32_scan": f32, "bf16_scan": bf16}
+    try:
+        # fully-fused Pallas forward (weights + path tile VMEM-resident,
+        # in-kernel TPU PRNG) + one flattened differentiable control eval
+        results["f32_fused"] = measure(jnp.float32, rollout_mode="fused")
+    except Exception:
+        pass
+    best_name, best = max(results.items(),
+                          key=lambda kv: kv[1]["path_steps_per_sec"])
     n_chips = jax.device_count()
     value = best["path_steps_per_sec"] / n_chips
 
@@ -90,9 +100,10 @@ def main():
         "value": round(value, 1),
         "unit": "path-steps/s/chip",
         "vs_baseline": round(value / REFERENCE_PATH_STEPS_PER_SEC, 2),
-        "f32_path_steps_per_sec": round(f32["path_steps_per_sec"], 1),
-        "bf16_path_steps_per_sec": round(bf16["path_steps_per_sec"], 1),
+        "best_mode": best_name,
     }
+    for name, r in results.items():
+        out[f"{name}_path_steps_per_sec"] = round(r["path_steps_per_sec"], 1)
     for name, r in (("f32", f32), ("bf16", bf16)):
         if "hbm_bw_util" in r:
             out[f"{name}_hbm_bytes_per_path_step"] = round(

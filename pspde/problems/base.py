@@ -116,6 +116,19 @@ class DiffusionMatrix:
             return self.diag * v
         return v @ self.mat
 
+    def inv_apply(self, v: jnp.ndarray) -> jnp.ndarray:
+        """sigma^{-1} @ v per batch row (used to reconstruct the driving
+        noise from Euler-Maruyama increments in the fused training
+        rollout, rollout/sde.py: hjb_rollout_fused)."""
+        if self.kind == "scalar":
+            return v / self.scale
+        if self.kind == "diag":
+            return v / self.diag
+        if not hasattr(self, "_inv_mat"):
+            self._inv_mat = jnp.asarray(
+                np.linalg.inv(np.asarray(self.mat)), dtype=jnp.float32)
+        return v @ self._inv_mat.T
+
 
 class Problem:
     """Base class: holds common metadata; subclasses define the physics."""

@@ -72,7 +72,8 @@ def fused_controlled_rollout(
     interpret: bool = False,
     host_noise: "jnp.ndarray | None" = None,  # (N, K, d): test/CPU mode
     vmem_budget_bytes: int = 96 * 2**20,      # ~3/4 of a v5e core's VMEM
-) -> ISRolloutOut:
+    collect_path: bool = False,   # also return the (N, K, d) pre-step path
+):
     """Simulate dX_u = (b(X_u) + sigma u) dt + sigma dW with
     u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals.
 
@@ -94,16 +95,37 @@ def fused_controlled_rollout(
     hidden_out = sum(int(x.shape[-1]) for x in param_leaves
                      if getattr(x, "ndim", 0) >= 2)
 
+    def _pad(n, m):
+        return -(-n // m) * m
+
+    # Output blocks are double-buffered on the scoped VMEM *stack*, whose
+    # limit (~16 MiB on v5e) is far below total VMEM, and the TPU (8, 128)
+    # tiling lane-pads the last dim — a (N, tile, d=10) path block
+    # physically occupies N * tile * 128 f32 lanes.
+    scoped_budget = 12 * 2**20
+
+    def scoped_estimate(t):
+        out = 2 * 4 * _pad(t, 8) * out_w
+        path = (2 * 4 * N * _pad(t, 8) * _pad(d, 128)) if collect_path else 0
+        return out + path
+
     def vmem_estimate(t):
         # X, xi, tX, u, acc + concat-skip activations (2x hidden widths),
         # double-buffered output tile; 4-byte f32 everywhere
         act = 4 * t * (2 * hidden_out + 6 * d + 16)
         noise = 4 * N * t * d if host_noise is not None else 0
-        out = 2 * 4 * t * (-(-(d + 3) // 128) * 128)
-        return weight_bytes + act + noise + out
+        return weight_bytes + act + noise + scoped_estimate(t)
 
-    while tile > 8 and vmem_estimate(tile) > vmem_budget_bytes:
+    out_w = _pad(d + 3, 128)
+    while tile > 8 and (vmem_estimate(tile) > vmem_budget_bytes
+                        or scoped_estimate(tile) > scoped_budget):
         tile //= 2
+    if collect_path and scoped_estimate(tile) > scoped_budget:
+        raise ValueError(
+            "fused_controlled_rollout(collect_path=True): the (N, tile, d) "
+            f"path block needs {scoped_estimate(tile) / 2**20:.1f} MiB of "
+            "scoped VMEM even at tile=8 (N too large for the fused "
+            "training kernel) - use rollout_mode='batched_grad'.")
     if vmem_estimate(tile) > vmem_budget_bytes:
         raise ValueError(
             "fused_controlled_rollout: estimated VMEM footprint "
@@ -176,21 +198,21 @@ def fused_controlled_rollout(
                      ((0, 0), (0, pad), (0, 0)))
         inputs = inputs + [hn]
 
-    # Single lane-aligned output: columns [0, d) hold X, the next three
-    # columns the Ito / Riemann / f accumulators, padded up to a multiple
-    # of 128 lanes.  Separate (K, 1) outputs would be lane-padded 128x by
-    # the TPU (8, 128) tiling, wasting HBM and blowing the VMEM budget.
-    out_w = -(-(d + 3) // 128) * 128
-
+    # Single lane-aligned output (out_w above): columns [0, d) hold X, the
+    # next three columns the Ito / Riemann / f accumulators, padded up to a
+    # multiple of 128 lanes.  Separate (K, 1) outputs would be lane-padded
+    # 128x by the TPU (8, 128) tiling, wasting HBM and VMEM.
     def kernel(seed_ref, *refs):
         in_refs = refs[:n_in]
+        k = n_in
+        noise_ref = None
         if use_host_noise:
-            noise_ref = refs[n_in]
-            out_ref = refs[n_in + 1]
+            noise_ref = refs[k]
+            k += 1
         else:
-            noise_ref = None
-            out_ref = refs[n_in]
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        out_ref = refs[k]
+        path_ref = refs[k + 1] if collect_path else None
         extra = tuple(r[:].reshape(in_shapes[j])
                       for j, r in enumerate(in_refs[:-1]))
 
@@ -205,6 +227,10 @@ def fused_controlled_rollout(
                 xi = noise_ref[n]
             else:
                 xi = _normals_from_bits((tile, d))
+            if collect_path:
+                # pre-step state: X_path[n] = X_n (the state the control
+                # was evaluated at)
+                path_ref[pl.ds(n, 1)] = X[None]
             X_new, u, fv = step_closed(X, t, xi, *extra)
             d_acc = jnp.stack(
                 [jnp.sum(u * xi, axis=-1) * sq_dt,
@@ -226,12 +252,20 @@ def fused_controlled_rollout(
     if use_host_noise:
         in_specs.append(pl.BlockSpec((N, tile, d), lambda i, *_: (0, i, 0),
                                      memory_space=pltpu.VMEM))
+    out_specs = pl.BlockSpec((tile, out_w), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    if collect_path:
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((N, n_tiles * tile, d),
+                                           jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((N, tile, d), lambda i, *_: (0, i, 0),
+                                  memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, out_w), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     compiler_params = None
     if not interpret:
@@ -246,6 +280,11 @@ def fused_controlled_rollout(
         interpret=interpret,
         compiler_params=compiler_params,
     )(jnp.asarray([seed], dtype=jnp.int32), *inputs)
+    if collect_path:
+        out, path = out
+        named = ISRolloutOut(out[:K, :d], out[:K, d], out[:K, d + 1],
+                             out[:K, d + 2])
+        return named, path[:, :K, :]
     return ISRolloutOut(out[:K, :d], out[:K, d], out[:K, d + 1],
                         out[:K, d + 2])
 

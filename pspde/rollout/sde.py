@@ -213,6 +213,28 @@ def hjb_rollout_batched_grad(
         return X_new, (X, X_new, xi)
 
     X_final, (X_pre, X_post, xis) = lax.scan(fwd_step, X0, jnp.arange(N))
+    return _assemble_hjb_from_path(cfg, problem, control_fn, params, Y0,
+                                   X_pre, X_post, X_final, xis,
+                                   u_ref=u_ref)
+
+
+def _assemble_hjb_from_path(cfg, problem, control_fn, params, Y0,
+                            X_pre, X_post, X_final, xis=None,
+                            u_ref=None) -> HJBRolloutOut:
+    """Phases 2-3 of the batched-gradient rollout: given the (N, K, d)
+    parameter-free path, evaluate the control ONCE on the flattened batch
+    and assemble Y / Z_sum / u_l2.
+
+    When ``xis`` is None the driving noise is reconstructed from the
+    Euler-Maruyama increments (used by :func:`hjb_rollout_fused`, whose
+    Pallas forward generates noise in-kernel): xi = sigma^{-1}((X_{n+1} -
+    X_n) - (b(X_n) + sigma c_n) dt) / sqrt(dt).  The reconstruction is
+    exact up to f32 rounding of the increment (~1e-7 relative), which is
+    orders below the Monte-Carlo noise floor of the losses."""
+    N, K, d = X_pre.shape
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
 
     # ---- phase 2: one batched, differentiable control evaluation -------
     ns = jnp.arange(N)
@@ -225,14 +247,18 @@ def hjb_rollout_batched_grad(
 
     c_all = lax.stop_gradient(-Z_all) if cfg.adaptive_forward \
         else jnp.zeros_like(Z_all)
+    if xis is None:
+        drift = jax.vmap(problem.b)(X_pre) + sig.apply(c_all)
+        xis = lax.stop_gradient(
+            sig.inv_apply(X_post - X_pre - drift * dt) / sq_dt)
     Zc = jnp.sum(Z_all * c_all, axis=-1)          # (N, K)
     Zxi = jnp.sum(Z_all * xis, axis=-1)
     h_all = jax.vmap(
-        lambda t, Xn, Z: problem.h(t, Xn, jnp.zeros((K,), X0.dtype), Z))(
+        lambda t, Xn, Z: problem.h(t, Xn, jnp.zeros((K,), X_pre.dtype), Z))(
         ts, X_post, Z_all)
     Y = Y0 + jnp.sum((-h_all + Zc) * dt + Zxi * sq_dt, axis=0)
 
-    Z_sum = jnp.zeros((K,), dtype=X0.dtype)
+    Z_sum = jnp.zeros((K,), dtype=X_pre.dtype)
     if cfg.reparametrization:
         v_all = lax.stop_gradient(-Z_all)
         Z_sum = Z_sum + jnp.sum(
@@ -246,14 +272,64 @@ def hjb_rollout_batched_grad(
         if cfg.kl_ito_term:
             Z_sum = Z_sum - jnp.sum(Zxi, axis=0) * sq_dt
 
-    u_l2 = jnp.zeros((K,), dtype=X0.dtype)
+    u_l2 = jnp.zeros((K,), dtype=X_pre.dtype)
     if cfg.track_u_l2 and u_ref is not None:
         err = jax.vmap(lambda Z, Xn, n: -Z - u_ref(Xn, n))(
             lax.stop_gradient(Z_all), X_post, ns)
         u_l2 = jnp.sum(jnp.sum(err * err, -1) * dt, axis=0)
 
     return HJBRolloutOut(X_final, Y, Z_sum, u_l2,
-                         jnp.zeros((K,), dtype=X0.dtype))
+                         jnp.zeros((K,), dtype=X_pre.dtype))
+
+
+def hjb_rollout_fused(
+    cfg: HJBRolloutConfig,
+    problem,
+    control_fn: Callable,
+    params: Any,
+    u_apply: Callable,        # (param_leaves_tuple, tX (K, d+1)) -> c (K, d)
+    param_leaves,             # tuple of f32 arrays (forward-drift weights)
+    X0: jnp.ndarray,          # (K, d) — must be broadcast(problem.X_0)
+    Y0: jnp.ndarray,
+    key: jax.Array,
+    u_ref: Optional[Callable] = None,
+    tile: int = 512,
+    interpret: bool = False,
+    host_noise: Optional[jnp.ndarray] = None,
+) -> HJBRolloutOut:
+    """Fully-fused training rollout: the N-step parameter-free forward
+    path runs inside ONE Pallas kernel (weights + path tile VMEM-resident,
+    in-kernel TPU PRNG, zero per-step dispatch/HBM-carry overhead —
+    rollout/kernels.py: fused_controlled_rollout with collect_path) which
+    streams the (N, K, d) pre-step path to HBM; the differentiable Y
+    assembly then evaluates the control once on the flattened N*K batch
+    exactly like :func:`hjb_rollout_batched_grad`.
+
+    The driving noise is reconstructed from the path increments (see
+    :func:`_assemble_hjb_from_path`) so the kernel only writes the X
+    stack.  Same requirements as the batched-grad path plus:
+    state-independent sigma, 'inner'-style control u_apply(leaves, [t, X]),
+    X0 = problem.X_0 (no random_X_0), f32.  Noise differs from
+    :func:`hjb_rollout`'s (TPU PRNG vs counter-based fold_in) except in
+    ``host_noise`` test mode — statistically equivalent, bitwise different.
+    """
+    assert cfg.detach_forward and not cfg.value_mode
+    assert cfg.repa_phase is None and not cfg.burgers_drift
+    from .kernels import fused_controlled_rollout
+
+    K, d = X0.shape
+    seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    frozen_leaves = tuple(lax.stop_gradient(x) for x in param_leaves)
+    out, X_pre = fused_controlled_rollout(
+        problem, u_apply, frozen_leaves, K, cfg.N, cfg.delta_t,
+        seed=seed, with_f=False, tile=tile, interpret=interpret,
+        host_noise=host_noise, collect_path=True)
+    X_final = lax.stop_gradient(out.X)
+    X_pre = lax.stop_gradient(X_pre)
+    X_post = jnp.concatenate([X_pre[1:], X_final[None]], axis=0)
+    return _assemble_hjb_from_path(cfg, problem, control_fn, params, Y0,
+                                   X_pre, X_post, X_final, xis=None,
+                                   u_ref=u_ref)
 
 
 class StoppedRolloutOut(NamedTuple):

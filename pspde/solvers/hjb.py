@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ansatz import DenseNet, ScalarParam, TanhMLP
 from ..losses.pathspace import (hjb_loss, log_variance_y0_losses)
 from ..rollout.sde import (HJBRolloutConfig, hjb_rollout,
-                           hjb_rollout_batched_grad)
+                           hjb_rollout_batched_grad, hjb_rollout_fused)
 from ._chunk import run_training
 
 
@@ -116,10 +116,14 @@ class HJBSolver:
         self.mesh = mesh
         self.steps_per_call = steps_per_call
         self.remat = (self.N > 512) if remat is None else remat
-        # 'scan' (default: lax.scan with optional remat) or 'batched_grad'
+        # 'scan' (default: lax.scan with optional remat), 'batched_grad'
         # (gradient-free forward + one flattened (N*K)-row differentiable
         # control evaluation; requires detach_forward and y-free h — wins
-        # in dispatch-bound regimes, loses to scan+remat when HBM-bound)
+        # in dispatch-bound regimes, loses to scan+remat when HBM-bound),
+        # or 'fused' (batched_grad with the forward path fused into one
+        # Pallas kernel — weights + path tile VMEM-resident, in-kernel TPU
+        # PRNG; additionally requires 'inner' control ansatz,
+        # state-independent sigma, fixed X_0, f32, single device)
         self.rollout_mode = rollout_mode
 
         # -- ansatz ---------------------------------------------------------
@@ -291,18 +295,46 @@ class HJBSolver:
                     problem.X_0.astype(dtype), (K, d))
             return self._shard(X0)
 
-        use_batched_grad = (
-            self.rollout_mode == "batched_grad"
-            and cfg.detach_forward and not cfg.value_mode
+        path_grad_ok = (
+            cfg.detach_forward and not cfg.value_mode
             and cfg.repa_phase is None and not cfg.burgers_drift
             and getattr(problem, "h_is_y_free", False))
+        use_batched_grad = self.rollout_mode == "batched_grad" and path_grad_ok
+        use_fused = (
+            self.rollout_mode == "fused" and path_grad_ok
+            and self.approx_method == "control"
+            and self.time_approx == "inner"
+            and not self.random_X_0
+            and dtype == jnp.float32
+            and self.mesh is None
+            and jax.default_backend() == "tpu")
         rollout = (hjb_rollout_batched_grad if use_batched_grad
                    else hjb_rollout)
+        if self.rollout_mode == "fused" and not use_fused:
+            rollout = (hjb_rollout_batched_grad if path_grad_ok
+                       else hjb_rollout)
+
+        if use_fused:
+            z_treedef = jax.tree.structure(self.params["z"])
+            z_net = self.z_net
+
+            if cfg.adaptive_forward:
+                def u_apply(leaves_t, tX):
+                    prm = jax.tree.unflatten(z_treedef, list(leaves_t))
+                    return -z_net.apply(prm, tX)
+            else:
+                def u_apply(leaves_t, tX):
+                    return jnp.zeros((tX.shape[0], d), jnp.float32)
 
         def rollout_outputs(params, key):
             kx, kr = jax.random.split(key)
             X0 = init_X(kx)
             Y0 = self._shard(y_init(params, X0))
+            if use_fused:
+                leaves = tuple(jax.tree.leaves(params["z"]))
+                return hjb_rollout_fused(cfg, problem, control_fn, params,
+                                         u_apply, leaves, X0, Y0, kr,
+                                         u_ref=u_ref)
             return rollout(cfg, problem, control_fn, params, X0, Y0, kr,
                            u_ref=u_ref)
 

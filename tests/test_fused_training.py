@@ -1,0 +1,99 @@
+"""Fused (Pallas) training rollout == scan rollout, values and gradients.
+
+``hjb_rollout_fused`` runs the parameter-free forward path in one Pallas
+kernel and reconstructs the driving noise from the path increments
+(rollout/sde.py: _assemble_hjb_from_path).  In ``host_noise`` mode the
+kernel consumes the exact fold_in noise stream of :func:`hjb_rollout`, so
+outputs and loss gradients must agree to f32 tolerance.  The in-kernel
+TPU-PRNG path is exercised on real hardware only (bench.py) and is
+statistically, not bitwise, equivalent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pspde.losses.pathspace import log_variance_loss
+from pspde.problems import LLGC
+from pspde.rollout.sde import (HJBRolloutConfig, hjb_rollout,
+                               hjb_rollout_fused)
+from pspde.solvers import HJBSolver
+
+K, D, N, DT = 64, 6, 12, 1.0 / 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = LLGC(d=D, T=1.0)
+    s = HJBSolver("fused-test", p, lr=1e-2, L=1, K=K, delta_t=DT,
+                  time_approx="inner", loss_method="log-variance",
+                  detach_forward=True, learn_Y_0=True, verbose=False,
+                  early_stopping_time=None)
+    cfg = s._rollout_cfg(0)
+    control_fn = s._control_fn()
+    z_treedef = jax.tree.structure(s.params["z"])
+    z_net = s.z_net
+
+    def u_apply(leaves_t, tX):
+        prm = jax.tree.unflatten(z_treedef, list(leaves_t))
+        return -z_net.apply(prm, tX)
+
+    key = jax.random.PRNGKey(7)
+    noise = jnp.stack([
+        jax.random.normal(jax.random.fold_in(key, n), (K, D),
+                          dtype=jnp.float32) for n in range(N)])
+    X0 = jnp.broadcast_to(p.X_0, (K, D)).astype(jnp.float32)
+    Y0 = jnp.zeros((K,), jnp.float32)
+    return p, s, cfg, control_fn, u_apply, key, noise, X0, Y0
+
+
+def _fused(setup, params):
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    leaves = tuple(jax.tree.leaves(params["z"]))
+    return hjb_rollout_fused(cfg, p, control_fn, params, u_apply, leaves,
+                             X0, Y0, key, u_ref=s._u_ref,
+                             interpret=True, host_noise=noise)
+
+
+def test_fused_matches_scan_outputs(setup):
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    # note: cfg.N == s.N which the solver derived from T/delta_t
+    assert cfg.N == N
+    ref = hjb_rollout(cfg, p, control_fn, s.params, X0, Y0, key,
+                      u_ref=s._u_ref)
+    out = _fused(setup, s.params)
+    np.testing.assert_allclose(out.X, ref.X, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out.u_l2, ref.u_l2, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_scan_gradients(setup):
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+
+    def loss_scan(params):
+        out = hjb_rollout(cfg, p, control_fn, params, X0, Y0, key,
+                          u_ref=s._u_ref)
+        return log_variance_loss(out.Y, p.g(out.X))
+
+    def loss_fused(params):
+        out = _fused(setup, params)
+        return log_variance_loss(out.Y, p.g(out.X))
+
+    g_ref = jax.grad(loss_scan)(s.params)
+    g_fus = jax.grad(loss_fused)(s.params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+
+
+def test_solver_fused_mode_falls_back_off_tpu(setup):
+    """rollout_mode='fused' must silently use the batched-grad path on
+    non-TPU backends (guard in hjb.py _build_step) and still train."""
+    p = LLGC(d=4, T=0.5)
+    s = HJBSolver("fused-fallback", p, lr=1e-2, L=5, K=32, delta_t=0.1,
+                  time_approx="inner", loss_method="log-variance",
+                  detach_forward=True, learn_Y_0=True, verbose=False,
+                  early_stopping_time=None, rollout_mode="fused")
+    s.train()
+    assert len(s.loss_log) == 5
+    assert np.isfinite(s.loss_log).all()
