@@ -39,6 +39,10 @@ def main():
         extra={"--leg": dict(type=str, default="all"),
                "--K": dict(type=int, default=200),
                "--alphas": dict(type=str, default="10,1,0.1"),
+               "--finetune-L": dict(type=int, default=0),
+               "--finetune-lr": dict(type=float, default=1e-4),
+               "--dt": dict(type=float, default=1e-3),
+               "--N": dict(type=int, default=25),
                "--steps-per-call": dict(type=int, default=100)})
     d = 100
     p = AllenCahn(d=d, T=0.3)
@@ -58,12 +62,13 @@ def main():
     configs = []
     if args.leg in ("all", "diffusion"):
         configs += [(f"diffusion a0={a0:g}",
-                     dict(loss_method="diffusion", N=25, delta_t=1e-3,
-                          L=args.L, alpha=(a0, 1.0, 1.0)))
+                     dict(loss_method="diffusion", N=args.N,
+                          delta_t=args.dt, L=args.L,
+                          alpha=(a0, 1.0, 1.0)))
                     for a0 in alphas]
     if args.leg in ("all", "pinn"):
         configs += [(f"PINN a0={a0:g}",
-                     dict(loss_method="PINN", N=25, delta_t=1e-3,
+                     dict(loss_method="PINN", N=args.N, delta_t=args.dt,
                           L=args.L, alpha=(a0, 1.0, 1.0)))
                     for a0 in alphas]
     if args.leg in ("all", "bsde"):
@@ -81,6 +86,20 @@ def main():
         v0 = v_at_origin(s)
         print(f"  {name}: v(0,0) = {v0:.6f} (ref {V0_REF}), "
               f"rel err {abs(v0 - V0_REF) / V0_REF:.2%}, {mins:.1f} min")
+        if args.finetune_L:
+            # v(0,0) oscillates with the Adam noise scale at lr=1e-3
+            # (~±4% over 100k-iter windows); annealing the tail shrinks
+            # the stationary oscillation ~lr-proportionally
+            import optax
+            s.tx = optax.adam(args.finetune_lr)
+            s.opt_state = s.tx.init(s.params)
+            s.L = kw["L"] + args.finetune_L
+            s.train()
+            v0 = v_at_origin(s)
+            mins = (time.time() - t0) / 60
+            print(f"  {name} after lr={args.finetune_lr:g} x "
+                  f"{args.finetune_L}: v(0,0) = {v0:.6f}, rel err "
+                  f"{abs(v0 - V0_REF) / V0_REF:.2%}, {mins:.1f} min")
         models.append(s)
     save(models, f"AllenCahn_d100_{args.leg}", args)
 

@@ -452,7 +452,35 @@ def stopped_rollout(
     zeros = jnp.zeros((K,), dtype=X0.dtype)
     carry0 = (X0, Y0, t0, jnp.zeros((K,), dtype=bool), zeros, zeros,
               jnp.float32(0.0), jnp.float32(0.0))
-    out, _ = lax.scan(step, carry0, jnp.arange(cfg.N))
+    N = cfg.N
+    if cfg.remat and N > 2048:
+        # sqrt-schedule nested rematerialization.  Reverse-mode over a
+        # length-N scan stores the CARRY at every step — ~N*K*d floats,
+        # 9 GB at the reference's N=200,000 BSDE config (notebook cell 14)
+        # — regardless of per-step checkpointing, which only trims
+        # within-step intermediates.  A scan-of-scans with the inner scan
+        # rematerialized stores only the ~sqrt(N) outer carries and
+        # recomputes each chunk on the backward pass: memory
+        # O(sqrt(N)*K*d), compute ~2x forward.  Steps beyond N (padding
+        # to a rectangular grid) are masked to no-ops.
+        import math
+        inner = int(math.isqrt(N - 1)) + 1
+        outer = -(-N // inner)
+
+        def inner_chunk(carry, ns):
+            def gated(c, n):
+                c_new, _ = step(c, n)
+                c_new = jax.tree.map(
+                    lambda a, b: jnp.where(n < N, a, b), c_new, c)
+                return c_new, None
+            carry, _ = lax.scan(gated, carry, ns)
+            return carry, None
+
+        inner_chunk = jax.checkpoint(inner_chunk, prevent_cse=False)
+        ns = jnp.arange(outer * inner).reshape(outer, inner)
+        out, _ = lax.scan(inner_chunk, carry0, ns)
+    else:
+        out, _ = lax.scan(step, carry0, jnp.arange(N))
     return StoppedRolloutOut(*out)
 
 

@@ -97,3 +97,46 @@ def test_solver_fused_mode_falls_back_off_tpu(setup):
     s.train()
     assert len(s.loss_log) == 5
     assert np.isfinite(s.loss_log).all()
+
+
+def test_nested_remat_long_n_matches_plain_scan():
+    """stopped_rollout's sqrt-schedule scan-of-scans (cfg.remat, N > 2048)
+    must produce identical outputs AND loss gradients to the plain scan
+    (remat changes memory scheduling, not math); padding steps beyond N
+    are masked to no-ops."""
+    from pspde.problems import ExponentialOnBallNonlinearSin
+    from pspde.rollout.sampling import inside_fn, sample_domain
+    from pspde.rollout.sde import StoppedRolloutConfig, stopped_rollout
+    from pspde.ansatz import DenseNet
+
+    p = ExponentialOnBallNonlinearSin(d=4, alpha=1.0)
+    net = DenseNet(d_out=1, arch=(8, 8))
+    key = jax.random.PRNGKey(3)
+    params = net.init(key, jnp.zeros((1, 4)))
+    X0 = sample_domain(key, p.geometry, 16, 4)
+    ins = inside_fn(p.geometry)
+
+    def vg(prm, X, t):
+        v_of_x = lambda x: net.apply(prm, x)[:, 0]
+        V, pull = jax.vjp(v_of_x, X)
+        (g,) = pull(jnp.ones_like(V))
+        return V, p.sigma_struct.apply_T(g)
+
+    def loss(prm, remat):
+        # N=2500 > 2048 triggers the nested path only when remat=True
+        cfg = StoppedRolloutConfig(N=2500, delta_t=1e-3, remat=remat)
+        out = stopped_rollout(cfg, p, vg, prm, X0,
+                              net.apply(prm, X0)[:, 0], jnp.zeros((16,)),
+                              key, ins)
+        return jnp.mean((p.g(out.X) - out.Y) ** 2), out
+
+    (l_plain, o_plain), g_plain = jax.value_and_grad(
+        lambda prm: loss(prm, False), has_aux=True)(params)
+    (l_remat, o_remat), g_remat = jax.value_and_grad(
+        lambda prm: loss(prm, True), has_aux=True)(params)
+    np.testing.assert_allclose(l_plain, l_remat, rtol=1e-6)
+    np.testing.assert_allclose(o_plain.Y, o_remat.Y, rtol=1e-5, atol=1e-6)
+    assert bool(jnp.all(o_plain.stopped == o_remat.stopped))
+    np.testing.assert_allclose(o_plain.hitting, o_remat.hitting)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
