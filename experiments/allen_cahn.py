@@ -43,13 +43,16 @@ def main():
                "--finetune-lr": dict(type=float, default=1e-4),
                "--dt": dict(type=float, default=1e-3),
                "--N": dict(type=int, default=25),
+               "--refine": dict(action="store_true"),
+               "--refine-K": dict(type=int, default=1000000),
+               "--radius": dict(type=float, default=7.0),
                "--steps-per-call": dict(type=int, default=100)})
     d = 100
     p = AllenCahn(d=d, T=0.3)
     # notebook cell 2: sampling ball radius 7, cube-direction x uniform
     # radius (uniform_square), net arch [110, 110, 50]
     from pspde.problems.base import Geometry
-    p.geometry = Geometry(kind="unbounded", boundary_distance=7.0)
+    p.geometry = Geometry(kind="unbounded", boundary_distance=args.radius)
 
     def net():
         return DenseNet(d_out=1, arch=(110, 110, 50))
@@ -100,6 +103,20 @@ def main():
             print(f"  {name} after lr={args.finetune_lr:g} x "
                   f"{args.finetune_L}: v(0,0) = {v0:.6f}, rel err "
                   f"{abs(v0 - V0_REF) / V0_REF:.2%}, {mins:.1f} min")
+        if args.refine:
+            # Feynman-Kac MC refinement (pspde.eval.refine): the learned V
+            # enters only through the h integral, contracting its error
+            # ~T*sup|h'| = 0.3x; K=1e6 paths make the MC error ~1e-4.
+            import jax
+            from pspde.eval import feynman_kac_refine
+            out = feynman_kac_refine(
+                p, lambda X, t: s._v_fn(s.params)(X, t),
+                jnp.zeros((d,)), K=args.refine_K, delta_t=args.dt,
+                key=jax.random.PRNGKey(args.seed + 1000))
+            v0r = float(out.value)
+            print(f"  {name} MC-refined: v(0,0) = {v0r:.6f} +- "
+                  f"{float(out.stderr):.6f}, rel err "
+                  f"{abs(v0r - V0_REF) / V0_REF:.2%}")
         models.append(s)
     save(models, f"AllenCahn_d100_{args.leg}", args)
 

@@ -160,9 +160,46 @@ def hjb_rollout(
 
     zeros = jnp.zeros((K,), dtype=f32)
     carry0 = (X0, Y0.astype(f32), zeros, zeros, zeros)
-    (X, Y, Z_sum, u_l2, add_loss), _ = lax.scan(
-        step, carry0, jnp.arange(cfg.N))
+    (X, Y, Z_sum, u_l2, add_loss) = _remat_scan(
+        step, carry0, cfg.N, cfg.remat)
     return HJBRolloutOut(X, Y, Z_sum, u_l2, add_loss)
+
+
+def _remat_scan(step, carry0, N: int, remat: bool, threshold: int = 2048):
+    """Run ``lax.scan(step, carry0, arange(N))`` — but for long
+    rematerialized horizons (remat and N > threshold), as a
+    sqrt-schedule scan-of-scans.
+
+    Reverse-mode over a length-N scan stores the CARRY at every step
+    (~N*K*d floats — 9 GB at the reference's N=200,000 BSDE config,
+    notebook cell 14 — which crashed the TPU worker) regardless of
+    per-step checkpointing, which only trims within-step intermediates.
+    Chunking with the inner ~sqrt(N)-step scan rematerialized stores only
+    the ~sqrt(N) outer carries and recomputes each chunk on the backward
+    pass: memory O(sqrt(N)*K*d), compute ~2x forward.  Steps beyond N
+    (grid padding) are masked to no-ops, so outputs and gradients are
+    bitwise the plain scan's (tests/test_fused_training.py)."""
+    if not (remat and N > threshold):
+        out, _ = lax.scan(step, carry0, jnp.arange(N))
+        return out
+
+    import math
+    inner = int(math.isqrt(N - 1)) + 1
+    outer = -(-N // inner)
+
+    def inner_chunk(carry, ns):
+        def gated(c, n):
+            c_new, _ = step(c, n)
+            c_new = jax.tree.map(
+                lambda a, b: jnp.where(n < N, a, b), c_new, c)
+            return c_new, None
+        carry, _ = lax.scan(gated, carry, ns)
+        return carry, None
+
+    inner_chunk = jax.checkpoint(inner_chunk, prevent_cse=False)
+    ns = jnp.arange(outer * inner).reshape(outer, inner)
+    out, _ = lax.scan(inner_chunk, carry0, ns)
+    return out
 
 
 def hjb_rollout_batched_grad(
@@ -452,35 +489,7 @@ def stopped_rollout(
     zeros = jnp.zeros((K,), dtype=X0.dtype)
     carry0 = (X0, Y0, t0, jnp.zeros((K,), dtype=bool), zeros, zeros,
               jnp.float32(0.0), jnp.float32(0.0))
-    N = cfg.N
-    if cfg.remat and N > 2048:
-        # sqrt-schedule nested rematerialization.  Reverse-mode over a
-        # length-N scan stores the CARRY at every step — ~N*K*d floats,
-        # 9 GB at the reference's N=200,000 BSDE config (notebook cell 14)
-        # — regardless of per-step checkpointing, which only trims
-        # within-step intermediates.  A scan-of-scans with the inner scan
-        # rematerialized stores only the ~sqrt(N) outer carries and
-        # recomputes each chunk on the backward pass: memory
-        # O(sqrt(N)*K*d), compute ~2x forward.  Steps beyond N (padding
-        # to a rectangular grid) are masked to no-ops.
-        import math
-        inner = int(math.isqrt(N - 1)) + 1
-        outer = -(-N // inner)
-
-        def inner_chunk(carry, ns):
-            def gated(c, n):
-                c_new, _ = step(c, n)
-                c_new = jax.tree.map(
-                    lambda a, b: jnp.where(n < N, a, b), c_new, c)
-                return c_new, None
-            carry, _ = lax.scan(gated, carry, ns)
-            return carry, None
-
-        inner_chunk = jax.checkpoint(inner_chunk, prevent_cse=False)
-        ns = jnp.arange(outer * inner).reshape(outer, inner)
-        out, _ = lax.scan(inner_chunk, carry0, ns)
-    else:
-        out, _ = lax.scan(step, carry0, jnp.arange(N))
+    out = _remat_scan(step, carry0, cfg.N, cfg.remat)
     return StoppedRolloutOut(*out)
 
 

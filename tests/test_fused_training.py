@@ -140,3 +140,31 @@ def test_nested_remat_long_n_matches_plain_scan():
     np.testing.assert_allclose(o_plain.hitting, o_remat.hitting)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_hjb_nested_remat_matches_plain_scan():
+    """hjb_rollout with remat at N > 2048 (sqrt scan-of-scans via
+    _remat_scan) == plain scan, outputs and gradients."""
+    import dataclasses
+    p = LLGC(d=3, T=1.0)
+    s = HJBSolver("hjb-longN", p, lr=1e-2, L=1, K=16, delta_t=1.0 / 2500,
+                  time_approx="inner", loss_method="log-variance",
+                  detach_forward=True, learn_Y_0=True, verbose=False,
+                  early_stopping_time=None)
+    assert s.N == 2500
+    cfg = s._rollout_cfg(0)
+    control_fn = s._control_fn()
+    key = jax.random.PRNGKey(5)
+    X0 = jnp.broadcast_to(p.X_0, (16, 3)).astype(jnp.float32)
+    Y0 = jnp.zeros((16,), jnp.float32)
+
+    def loss(prm, remat):
+        out = hjb_rollout(dataclasses.replace(cfg, remat=remat), p,
+                          control_fn, prm, X0, Y0, key, u_ref=s._u_ref)
+        return log_variance_loss(out.Y, p.g(out.X))
+
+    l_plain, g_plain = jax.value_and_grad(lambda q: loss(q, False))(s.params)
+    l_remat, g_remat = jax.value_and_grad(lambda q: loss(q, True))(s.params)
+    np.testing.assert_allclose(l_plain, l_remat, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)

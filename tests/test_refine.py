@@ -1,0 +1,60 @@
+"""Feynman-Kac pointwise refinement: systematic error must contract.
+
+Manufactured linear problem with h = y: v = e^(T-t) (|x|^2 + 2(T-t) d)
+solves dv/dt + Lap v + v = 0 with v(T) = |x|^2 (so the refined estimate's
+V-dependence is through the h integral only).  Feeding a 5%-inflated
+approximation, the direct readout is off by exactly 5%, while the
+refinement's systematic error is bounded by the Picard contraction
+~ (e^T - 1 - T)-ish: measurably smaller.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pspde.eval import feynman_kac_refine
+from pspde.problems.base import DiffusionMatrix, Geometry, Problem
+
+
+class _LinearH(Problem):
+    def __init__(self, d=3, T=0.25):
+        super().__init__(d=d, T=T)
+        self.B = jnp.sqrt(2.0) * jnp.eye(d, dtype=jnp.float32)
+        self._sigma = DiffusionMatrix(self.B)
+        self.geometry = Geometry(kind="unbounded", boundary_distance=1.0)
+
+    @property
+    def sigma_struct(self):
+        return self._sigma
+
+    def b(self, x):
+        return jnp.zeros_like(x)
+
+    def h(self, t, x, y, z):
+        return y
+
+    def f_terminal(self, x):
+        return jnp.sum(x * x, axis=-1)
+
+    def v_true(self, x, t):
+        return jnp.exp(self.T - t) * (
+            jnp.sum(x * x, axis=-1) + 2.0 * (self.T - t) * self.d)
+
+
+def test_refinement_contracts_model_error(key):
+    p = _LinearH(d=3, T=0.25)
+    x0 = jnp.asarray([0.3, -0.2, 0.1], jnp.float32)
+    true0 = float(p.v_true(x0[None], jnp.zeros((1,)))[0])
+
+    v_fn = lambda X, t: 1.05 * p.v_true(X, t)  # 5% inflated model
+    out = feynman_kac_refine(p, v_fn, x0, K=200_000, delta_t=1e-3, key=key)
+    direct_err = abs(float(out.direct) - true0) / true0
+    refined_err = abs(float(out.value) - true0) / true0
+    assert abs(direct_err - 0.05) < 1e-3
+    # contraction: int_0^T e^s ds / e^T * 5% ~= 22% of the direct error at
+    # T=0.25; allow MC noise headroom
+    assert refined_err < 0.02, (refined_err, float(out.stderr))
+    # exact-model sanity: refinement reproduces the truth to MC noise
+    out2 = feynman_kac_refine(p, p.v_true, x0, K=200_000, delta_t=1e-3,
+                              key=key)
+    assert abs(float(out2.value) - true0) / true0 < 5e-3
