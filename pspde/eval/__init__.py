@@ -13,3 +13,4 @@ from .plotting import (load_exp_logs, plot_control_for_DoubleWell1d,
 from .test_error import compute_test_error
 from .refine import RefinedValue, feynman_kac_refine  # noqa: F401,E402
 from .picard import picard_refine  # noqa: F401,E402
+from .refine import feynman_kac_refine_elliptic  # noqa: F401,E402

@@ -90,3 +90,101 @@ def feynman_kac_refine(
 
     mean, stderr, direct = run(key)
     return RefinedValue(mean, stderr, direct)
+
+
+def feynman_kac_refine_elliptic(
+    problem,
+    v_fn: Callable,            # (X (K, d)) -> (K,) learned value
+    x0: jnp.ndarray,           # (d,) evaluation point (interior)
+    K: int = 262_144,
+    N_cap: int = 4096,
+    delta_t: float = 1e-3,
+    key: Optional[jax.Array] = None,
+) -> RefinedValue:
+    """Stopped-domain variant for Dirichlet elliptic problems:
+    v(x0) = E[g(X_tau) + int_0^tau h(X_s, v(X_s), .) ds] with tau the
+    first exit time (EllipticSolver family, solver.py:723-801
+    conventions; Y accumulates -h so the fixed point carries +h here).
+
+    Contraction caveat: the elliptic Picard map contracts only when
+    sup|dh/dy| * E[tau] < 1 — true for the committor (h = 0) and other
+    mildly nonlinear problems, NOT for stiff manufactured h like
+    ExponentialOnBallNonlinear (dh/dy ~ -2 alpha (2 alpha r^2 + d),
+    measured 1.8x amplification of a 5% model error at d=4).  With an
+    accurate model the readout is an oracle regardless (exact-model
+    error ~0.3% at dt=1e-3, test_refine).
+
+    Discrete-monitoring exit bias is removed with the
+    Broadie-Glasserman-Kou barrier shift: the stopping test runs against
+    a domain SHRUNK by beta * sigma * sqrt(dt) (beta = 0.5826), h
+    accumulates only strictly inside it, and g is evaluated at the
+    radial projection of the exit state onto the TRUE boundary.  Without
+    the shift the discrete walk systematically outlives the continuous
+    exit time (measured: -12.7% on the d=4 nonlinear Dirichlet ball with
+    the exact solution plugged in; -0.3% with it).  Note this is an
+    ORACLE readout convention — the training losses keep the reference's
+    frozen-state semantics (solver.py:750-779) for parity.
+    """
+    geom = problem.geometry
+    assert geom is not None and geom.bounded, \
+        "feynman_kac_refine_elliptic needs a bounded Dirichlet geometry"
+    assert geom.kind in ("sphere", "two_spheres"), geom.kind
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    d = problem.d
+    dt = jnp.float32(delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+    sig_mat = np.asarray(sig.mat)
+    sig_radial = float(np.sqrt(np.max(np.diag(sig_mat @ sig_mat.T))))
+    shift = 0.5826 * sig_radial * float(np.sqrt(delta_t))
+
+    if geom.kind == "sphere":
+        R_out, R_in = geom.boundary_distance, None
+    else:
+        R_out = geom.boundary_distance_2
+        R_in = geom.boundary_distance_1
+
+    @jax.jit
+    def run(key):
+        X0 = jnp.broadcast_to(x0.astype(jnp.float32), (K, d))
+
+        def inside(X):
+            r = jnp.sqrt(jnp.sum(X * X, axis=-1))
+            ok = r < (R_out - shift)
+            if R_in is not None:
+                ok = ok & (r > (R_in + shift))
+            return ok
+
+        def project(X):
+            r = jnp.sqrt(jnp.sum(X * X, axis=-1, keepdims=True))
+            if R_in is None:
+                tgt = jnp.float32(R_out)
+            else:
+                mid = 0.5 * (R_in + R_out)
+                tgt = jnp.where(r > mid, R_out, R_in)
+            return X * (tgt / jnp.maximum(r, 1e-12))
+
+        def step_simple(carry, n):
+            X, acc, stopped = carry
+            ins = inside(X)
+            active = ~stopped & ins
+            h = problem.h(X, v_fn(X), None)
+            acc = acc + jnp.where(active, h, 0.0) * dt
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d))
+            Xp = X + problem.b(X) * dt + sig.apply(xi) * sq_dt
+            X = jnp.where(active[:, None], Xp, X)
+            stopped = stopped | ~ins
+            return (X, acc, stopped), None
+
+        (X, acc, stopped), _ = lax.scan(
+            step_simple, (X0, jnp.zeros((K,)), jnp.zeros((K,), bool)),
+            jnp.arange(N_cap))
+        per_path = problem.g(project(X)) + acc
+        mean = jnp.mean(per_path)
+        stderr = jnp.std(per_path) / jnp.sqrt(jnp.float32(K))
+        direct = jnp.mean(v_fn(X0[:1]))
+        return mean, stderr, direct
+
+    mean, stderr, direct = run(key)
+    return RefinedValue(mean, stderr, direct)
