@@ -50,6 +50,47 @@ def main():
                                print_every=max(args.L // 20, 1), **common)
             s.train()
             models.append(s)
+    if args.leg == "long":
+        # VERDICT r3 item 3: can the notebook's exact DEFAULT relu^2
+        # DenseNet close the diffusion-leg fresh-MSE gap with a longer
+        # budget + lr annealing (the notebook's own config, 10x budget)?
+        import optax
+        L = 300000 if args.L == 30000 else args.L
+        for a0 in [10.0, 100.0]:
+            cc = dict(common)
+            cc["lr"] = optax.cosine_decay_schedule(1e-3, L, alpha=1e-2)
+            s = EllipticSolver(p, f"diffusion-long a0={a0:g}", N=50, L=L,
+                               alpha=(a0, 1.0), loss_method="diffusion",
+                               print_every=max(L // 20, 1), **cc)
+            s.train()
+            models.append(s)
+    if args.leg == "picard":
+        # Train the exact notebook diffusion leg (headline a0=10, default
+        # net), then refine it with the stopped-domain Picard corrector
+        # (pspde.eval.picard_refine_elliptic; h=0 for the committor, so
+        # one stage reaches the MC/regression floor).
+        import jax
+        import jax.numpy as jnp
+        from pspde.eval import picard_refine_elliptic
+        from pspde.rollout.sampling import sample_domain
+        s = EllipticSolver(p, "diffusion a0=10 + picard", N=50, L=args.L,
+                           alpha=(10.0, 1.0), loss_method="diffusion",
+                           print_every=max(args.L // 20, 1), **common)
+        s.train()
+        models.append(s)
+        Xt = sample_domain(jax.random.PRNGKey(99), p.geometry, 100000, d)
+        vr = p.v_ref(Xt)
+        mse0 = float(jnp.mean((s.V_net.apply(s.params, Xt)[:, 0]
+                               - vr) ** 2))
+        for stages in (1, 2):
+            refined, hist = picard_refine_elliptic(
+                p, s.V_net, s.params, n_stages=stages, M=8192,
+                K_inner=1024, N_cap=8192, delta_t=1e-3, reg_steps=5000,
+                key=jax.random.PRNGKey(args.seed))
+            mse = float(jnp.mean((s.V_net.apply(refined, Xt)[:, 0]
+                                  - vr) ** 2))
+            print(f"  picard {stages}-stage: fresh MSE {mse0:.3e} -> "
+                  f"{mse:.3e}  (history {hist})")
     if args.leg in ("all", "bsde"):
         n_bsde = 500 if args.smoke else 5000
         L_bsde = max(args.L // 300, 10) if args.smoke else args.bsde_l

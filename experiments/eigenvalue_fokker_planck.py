@@ -36,6 +36,12 @@ def main():
     print(f"lambda = {lam:.4e} (true {p.lambda_true}), "
           f"eigenfunction L2 = {s.V_L2_log[-1]:.3e}, "
           f"train {sum(s.times):.0f}s")
+    # round-3 readouts (VERDICT r2 item 2): the last iterate of an
+    # oscillating lambda trace is the noisiest possible readout — report
+    # the tail-window mean and the frozen-V regression (Rayleigh) estimate
+    print(f"lambda tail-mean (last 10%) = {s.lambda_tail_mean():.4e}")
+    lam_hat, err = s.estimate_lambda(K=8192, n_batches=16)
+    print(f"lambda regression at frozen V = {lam_hat:.4e} +- {err:.1e}")
     if args.finetune_L:
         # joint (V, lambda) Adam equilibria carry an O(lr) stationary bias
         # in this noisy loss; a low-lr fine-tune leg measures/removes it

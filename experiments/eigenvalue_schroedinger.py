@@ -49,6 +49,10 @@ def main():
           f"{abs(lam - p.lambda_true) / abs(p.lambda_true):.2%}, "
           f"eigenfunction L2 = {s.V_L2_log[-1]:.3e}, "
           f"train {sum(s.times):.0f}s")
+    print(f"lambda tail-mean (last 10%) = {s.lambda_tail_mean():.4f}")
+    lam_hat, err = s.estimate_lambda(K=8192, n_batches=16)
+    print(f"lambda regression at frozen V = {lam_hat:.4f} +- {err:.1e}, "
+          f"rel err {abs(lam_hat - p.lambda_true) / abs(p.lambda_true):.2%}")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,34 @@ def main():
                                    **common)
                 s.train()
                 models.append(s)
+    if args.leg == "picard":
+        # Round-3: stopped-domain Picard refinement of the trained
+        # diffusion model (eval/picard.py).  CAUTION per refine.py's
+        # contraction caveat: this problem's dh/dy is stiff, so the map
+        # is only weakly contractive — Krasnoselskij damping sweeps are
+        # reported honestly either way.
+        import jax
+        import jax.numpy as jnp
+        from pspde.eval import picard_refine_elliptic
+        from pspde.rollout.sampling import sample_domain
+        s = EllipticSolver(p, "diffusion a0=0.1 + picard", L=args.L,
+                           alpha=(0.1, 1.0), loss_method="diffusion",
+                           value_net=net(), **common)
+        s.train()
+        models.append(s)
+        Xt = sample_domain(jax.random.PRNGKey(99), p.geometry, 50000, d)
+        vr = p.v_ref(Xt)
+        mse0 = float(jnp.mean((s.V_net.apply(s.params, Xt)[:, 0]
+                               - vr) ** 2))
+        for damping in (1.0, 0.5):
+            refined, hist = picard_refine_elliptic(
+                p, s.V_net, s.params, n_stages=2, M=8192, K_inner=512,
+                N_cap=4096, delta_t=1e-3, reg_steps=4000,
+                damping=damping, key=jax.random.PRNGKey(args.seed))
+            mse = float(jnp.mean((s.V_net.apply(refined, Xt)[:, 0]
+                                  - vr) ** 2))
+            print(f"  picard damping={damping:g}: fresh MSE {mse0:.3e} "
+                  f"-> {mse:.3e}  ({hist})")
     if args.leg in ("all", "bsde"):
         n_bsde = 32 if args.smoke else args.bsde_n
         s = EllipticSolver(p, f"BSDE N={n_bsde}", L=args.L, alpha=(1.0, 1.0),

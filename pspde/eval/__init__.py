@@ -12,5 +12,6 @@ from .plotting import (load_exp_logs, plot_control_for_DoubleWell1d,
                        plot_solution, save_exp_logs)
 from .test_error import compute_test_error
 from .refine import RefinedValue, feynman_kac_refine  # noqa: F401,E402
-from .picard import picard_refine  # noqa: F401,E402
+from .picard import (picard_refine,  # noqa: F401,E402
+                     picard_refine_elliptic)
 from .refine import feynman_kac_refine_elliptic  # noqa: F401,E402

@@ -39,7 +39,14 @@ def _mc_targets(problem, v_fn, ts, Xs, K_inner, delta_t, key):
     All anchors are integrated as one flat (M*K_inner, d) ensemble for a
     fixed N_max = ceil(T/dt) steps; a per-row gate freezes rows whose
     remaining horizon T - t_i is exhausted (same masking algebra as the
-    general solver's time stopping, rollout/sde.py: stopped_rollout)."""
+    general solver's time stopping, rollout/sde.py: stopped_rollout).
+
+    Restriction (cf. refine.py's unbounded-geometry assert): ``problem.h``
+    is called with a PER-ROW time vector t (K,) — not the scalar t of the
+    solver protocol (base.py) — and with z = None, so h must broadcast
+    over batched t and must not use z (true for the Heat/Allen-Cahn family
+    this corrector targets; a |z|^2-nonlinear problem like
+    QuadraticGradient is unsupported here)."""
     M, d = Xs.shape
     T = problem.T
     dt = jnp.float32(delta_t)
@@ -147,3 +154,139 @@ def picard_refine(
     out = feynman_kac_refine(problem, v_of(p), x0, K=readout_K,
                              delta_t=delta_t, key=key)
     return out.value, out.stderr, p
+
+
+# ---------------------------------------------------------------------------
+# Elliptic (stopped-domain) Picard refinement — VERDICT round-2 item 5.
+# ---------------------------------------------------------------------------
+
+def mc_targets_elliptic(problem, v_fn, Xs, K_inner, N_cap, delta_t, key):
+    """Stopped Feynman-Kac MC targets at anchor points Xs (M, d):
+
+        target_i = E[g(X_tau) + int_0^tau h(X_s, v(X_s), .) ds],  X_0 = x_i,
+
+    along the uncontrolled dynamics, with the Broadie-Glasserman-Kou
+    discrete-exit correction (refine.py: bgk_closures).  Returns
+    ``(targets (M,), cap_frac)`` where cap_frac is the fraction of paths
+    force-projected at N_cap (bias indicator, cf. ADVICE round 2).
+
+    Restriction (as in _mc_targets): h is called as h(x, y, None) — the
+    model enters through y only; |z|^2-nonlinear problems unsupported."""
+    from .refine import bgk_closures
+
+    M, d = Xs.shape
+    dt = jnp.float32(delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+    inside, project = bgk_closures(problem, delta_t)
+
+    X0 = jnp.repeat(Xs, K_inner, axis=0)              # (M*K, d)
+    R = X0.shape[0]
+
+    def step(carry, n):
+        X, acc, stopped = carry
+        ins = inside(X)
+        active = ~stopped & ins
+        h = problem.h(X, v_fn(X), None)
+        acc = acc + jnp.where(active, h, 0.0) * dt
+        xi = jax.random.normal(jax.random.fold_in(key, n), (R, d))
+        Xp = X + problem.b(X) * dt + sig.apply(xi) * sq_dt
+        X = jnp.where(active[:, None], Xp, X)
+        stopped = stopped | ~ins
+        return (X, acc, stopped), None
+
+    (X, acc, stopped), _ = lax.scan(
+        step, (X0, jnp.zeros((R,)), jnp.zeros((R,), bool)),
+        jnp.arange(N_cap))
+    vals = problem.g(project(X)) + acc                # (M*K,)
+    cap_frac = jnp.mean((~stopped & inside(X)).astype(jnp.float32))
+    return jnp.mean(vals.reshape(M, K_inner), axis=1), cap_frac
+
+
+def picard_refine_elliptic(
+    problem,
+    net,                       # Flax module: V(x), input (K, d)
+    params,                    # trained params for `net`
+    n_stages: int = 2,
+    M: int = 4096,
+    K_inner: int = 512,
+    N_cap: int = 4096,
+    delta_t: float = 1e-3,
+    reg_steps: int = 3000,
+    reg_lr: float = 1e-3,
+    damping: float = 1.0,
+    uniform_square: bool = False,
+    key: Optional[jax.Array] = None,
+    verbose: bool = False,
+):
+    """Multi-stage Picard refinement of a trained ELLIPTIC value net.
+
+    Each stage: draw M anchors uniformly in the domain
+    (rollout/sampling.py: sample_domain), estimate the stopped
+    Feynman-Kac right-hand side at each anchor with the CURRENT model in
+    h (BGK-corrected exits), and fit the net to the targets.  The model's
+    systematic error contracts by ~ E[tau] * sup|dh/dy| per stage
+    (refine.py's elliptic contraction caveat applies: stiff manufactured
+    h may amplify; for the committor h = 0 one stage reaches the MC/
+    regression floor).  ``damping`` < 1 Krasnoselskij-averages the
+    targets with the current model, stabilizing weakly-expansive maps.
+
+    Returns ``(params_final, history)`` with per-stage dicts
+    (reg_loss, cap_frac).  Counterpart of :func:`picard_refine` for the
+    EllipticSolver family (solver.py:733-801 semantics); no reference
+    equivalent exists.
+    """
+    from ..rollout.sampling import sample_domain
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    d = problem.d
+
+    def v_of(p):
+        return lambda X: net.apply(p, X)[:, 0]
+
+    targets_jit = jax.jit(
+        lambda p, Xs, k: mc_targets_elliptic(
+            problem, v_of(p), Xs, K_inner, N_cap, delta_t, k))
+
+    @jax.jit
+    def reg_fit(p, Xs, targets):
+        def loss(p):
+            pred = net.apply(p, Xs)[:, 0]
+            return jnp.mean((pred - targets) ** 2)
+
+        tx_opt = optax.adam(reg_lr)
+        state = tx_opt.init(p)
+
+        def body(carry, _):
+            p, state = carry
+            l, g = jax.value_and_grad(loss)(p)
+            up, state = tx_opt.update(g, state, p)
+            return (optax.apply_updates(p, up), state), l
+
+        (p, _), ls = lax.scan(body, (p, state), None, length=reg_steps)
+        return p, ls[-1]
+
+    p = params
+    history = []
+    for stage in range(n_stages):
+        key, ka, kr = jax.random.split(key, 3)
+        Xs = sample_domain(ka, problem.geometry, M, d,
+                           uniform_square=uniform_square)
+        targets, cap_frac = targets_jit(p, Xs, kr)
+        if damping < 1.0:
+            targets = (1.0 - damping) * v_of(p)(Xs) + damping * targets
+        p, reg_loss = reg_fit(p, Xs, targets)
+        rec = {"reg_loss": float(reg_loss), "cap_frac": float(cap_frac)}
+        history.append(rec)
+        if verbose:
+            print(f"  elliptic picard stage {stage}: "
+                  f"reg_loss {rec['reg_loss']:.3e}, "
+                  f"cap_frac {rec['cap_frac']:.2e}")
+        if rec["cap_frac"] > 1e-3:
+            import warnings
+            warnings.warn(
+                "picard_refine_elliptic: %.2f%% of target paths hit "
+                "N_cap=%d - targets are biased; raise N_cap"
+                % (100 * rec["cap_frac"], N_cap), stacklevel=2)
+    return p, history

@@ -33,6 +33,10 @@ class RefinedValue(NamedTuple):
     value: jnp.ndarray    # () refined v(t0, x0)
     stderr: jnp.ndarray   # () Monte-Carlo standard error
     direct: jnp.ndarray   # () the raw net readout v_fn(x0, t0)
+    # fraction of paths still inside the domain at N_cap (elliptic variant
+    # only; such paths are force-projected onto the boundary, biasing the
+    # estimate when E[tau] approaches N_cap * dt)
+    cap_frac: float = 0.0
 
 
 def feynman_kac_refine(
@@ -92,6 +96,46 @@ def feynman_kac_refine(
     return RefinedValue(mean, stderr, direct)
 
 
+def bgk_closures(problem, delta_t):
+    """(inside, project) closures for discretely-monitored first-exit MC
+    with the Broadie-Glasserman-Kou continuity correction: the stopping
+    test runs against the domain SHRUNK by 0.5826 * sigma * sqrt(dt) and
+    exit states are radially projected onto the TRUE boundary.  Supports
+    'sphere' and 'two_spheres' Dirichlet geometries (shared by
+    :func:`feynman_kac_refine_elliptic` and eval/picard.py's elliptic
+    stage)."""
+    geom = problem.geometry
+    assert geom is not None and geom.bounded, \
+        "bgk_closures needs a bounded Dirichlet geometry"
+    assert geom.kind in ("sphere", "two_spheres"), geom.kind
+    sig_mat = np.asarray(problem.sigma_struct.mat)
+    sig_radial = float(np.sqrt(np.max(np.diag(sig_mat @ sig_mat.T))))
+    shift = 0.5826 * sig_radial * float(np.sqrt(delta_t))
+    if geom.kind == "sphere":
+        R_out, R_in = geom.boundary_distance, None
+    else:
+        R_out = geom.boundary_distance_2
+        R_in = geom.boundary_distance_1
+
+    def inside(X):
+        r = jnp.sqrt(jnp.sum(X * X, axis=-1))
+        ok = r < (R_out - shift)
+        if R_in is not None:
+            ok = ok & (r > (R_in + shift))
+        return ok
+
+    def project(X):
+        r = jnp.sqrt(jnp.sum(X * X, axis=-1, keepdims=True))
+        if R_in is None:
+            tgt = jnp.float32(R_out)
+        else:
+            mid = 0.5 * (R_in + R_out)
+            tgt = jnp.where(r > mid, R_out, R_in)
+        return X * (tgt / jnp.maximum(r, 1e-12))
+
+    return inside, project
+
+
 def feynman_kac_refine_elliptic(
     problem,
     v_fn: Callable,            # (X (K, d)) -> (K,) learned value
@@ -125,45 +169,17 @@ def feynman_kac_refine_elliptic(
     ORACLE readout convention — the training losses keep the reference's
     frozen-state semantics (solver.py:750-779) for parity.
     """
-    geom = problem.geometry
-    assert geom is not None and geom.bounded, \
-        "feynman_kac_refine_elliptic needs a bounded Dirichlet geometry"
-    assert geom.kind in ("sphere", "two_spheres"), geom.kind
     if key is None:
         key = jax.random.PRNGKey(0)
     d = problem.d
     dt = jnp.float32(delta_t)
     sq_dt = jnp.sqrt(dt)
     sig = problem.sigma_struct
-    sig_mat = np.asarray(sig.mat)
-    sig_radial = float(np.sqrt(np.max(np.diag(sig_mat @ sig_mat.T))))
-    shift = 0.5826 * sig_radial * float(np.sqrt(delta_t))
-
-    if geom.kind == "sphere":
-        R_out, R_in = geom.boundary_distance, None
-    else:
-        R_out = geom.boundary_distance_2
-        R_in = geom.boundary_distance_1
+    inside, project = bgk_closures(problem, delta_t)
 
     @jax.jit
     def run(key):
         X0 = jnp.broadcast_to(x0.astype(jnp.float32), (K, d))
-
-        def inside(X):
-            r = jnp.sqrt(jnp.sum(X * X, axis=-1))
-            ok = r < (R_out - shift)
-            if R_in is not None:
-                ok = ok & (r > (R_in + shift))
-            return ok
-
-        def project(X):
-            r = jnp.sqrt(jnp.sum(X * X, axis=-1, keepdims=True))
-            if R_in is None:
-                tgt = jnp.float32(R_out)
-            else:
-                mid = 0.5 * (R_in + R_out)
-                tgt = jnp.where(r > mid, R_out, R_in)
-            return X * (tgt / jnp.maximum(r, 1e-12))
 
         def step_simple(carry, n):
             X, acc, stopped = carry
@@ -184,7 +200,16 @@ def feynman_kac_refine_elliptic(
         mean = jnp.mean(per_path)
         stderr = jnp.std(per_path) / jnp.sqrt(jnp.float32(K))
         direct = jnp.mean(v_fn(X0[:1]))
-        return mean, stderr, direct
+        cap_frac = jnp.mean((~stopped & inside(X)).astype(jnp.float32))
+        return mean, stderr, direct, cap_frac
 
-    mean, stderr, direct = run(key)
-    return RefinedValue(mean, stderr, direct)
+    mean, stderr, direct, cap_frac = run(key)
+    cap_frac = float(cap_frac)
+    if cap_frac > 1e-3:
+        import warnings
+        warnings.warn(
+            "feynman_kac_refine_elliptic: %.2f%% of paths had not exited "
+            "at N_cap=%d and were projected onto the boundary - the "
+            "estimate is biased; raise N_cap" % (100 * cap_frac, N_cap),
+            stacklevel=2)
+    return RefinedValue(mean, stderr, direct, cap_frac)

@@ -116,6 +116,16 @@ class DiffusionMatrix:
             return self.diag * v
         return v @ self.mat
 
+    def apply_cols(self, v: jnp.ndarray) -> jnp.ndarray:
+        """sigma @ v in COLUMN layout: v (d, K) -> (d, K).  Used by the
+        transposed (K-in-lanes) rollout paths, where the batch axis lives
+        in the TPU lane dimension (ansatz/transposed.py layout note)."""
+        if self.kind == "scalar":
+            return self.scale * v
+        if self.kind == "diag":
+            return self.diag[:, None] * v
+        return jnp.matmul(self.mat, v)
+
     def inv_apply(self, v: jnp.ndarray) -> jnp.ndarray:
         """sigma^{-1} @ v per batch row (used to reconstruct the driving
         noise from Euler-Maruyama increments in the fused training
@@ -131,11 +141,23 @@ class DiffusionMatrix:
 
 
 class Problem:
-    """Base class: holds common metadata; subclasses define the physics."""
+    """Base class: holds common metadata; subclasses define the physics.
+
+    Optional transposed-coefficient protocol (column layout, batch in the
+    TPU lane dimension; see ansatz/transposed.py): a problem may define
+    ``b_T(xT (d, K)) -> (d, K)``, ``h_T(t, xT, y (K,), zT) -> (K,)`` and
+    ``f_T(xT, t) -> (K,)`` to enable the transposed rollout fast paths
+    (rollout/kernels.py: fused_train_rollout).  ``supports_transposed``
+    reports whether all required pieces exist.
+    """
 
     # True when h(t, x, y, z) ignores y — enables the batched-gradient
     # rollout fast path (rollout/sde.py: hjb_rollout_batched_grad)
     h_is_y_free: bool = False
+
+    @property
+    def supports_transposed(self) -> bool:
+        return hasattr(self, "b_T") and hasattr(self, "h_T")
 
     name: str = "problem"
     d: int

@@ -78,6 +78,22 @@ class LLGC(Problem):
     def g(self, x):
         return x @ self.alpha
 
+    # -- transposed-coefficient protocol (base.py) for the K-in-lanes
+    # rollout fast paths; batch axis is the COLUMN axis here.
+    def b_T(self, xT):
+        if self._A_is_neg_identity:
+            return -xT
+        return jnp.matmul(self.A, xT)
+
+    def h_T(self, t, xT, y, zT):
+        return self.h_sign * 0.5 * jnp.sum(zT * zT, axis=0)
+
+    def f_T(self, xT, t):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
+    def g_T(self, xT):
+        return self.alpha @ xT
+
     # -- reference solution ------------------------------------------------
     def _expm_AT(self, tau: float) -> np.ndarray:
         return expm(self._A_np.T * tau)

@@ -48,6 +48,17 @@ class HeatEquation(Problem):
     def f_terminal(self, x):
         return jnp.sum(x * x, axis=-1)
 
+    # transposed-coefficient protocol (base.py): zero drift / h, so the
+    # column-layout forms are trivial
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def h_T(self, t, xT, y, zT):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
+    def f_T(self, xT, t):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
     def v_ref(self, x, t):
         return jnp.sum(x * x, axis=-1) + 2.0 * (self.T - t) * self.d
 

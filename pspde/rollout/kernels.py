@@ -6,7 +6,9 @@ state, the control-network weights and the Ito/Riemann accumulators stay
 resident in VMEM for all N steps, so the loop performs zero HBM traffic
 (the XLA scan implementation round-trips the carry through HBM every
 step).  Noise is generated in-kernel with the TPU PRNG
-(pltpu.prng_random_bits) and a Box-Muller transform.
+(pltpu.prng_random_bits) and an erf_inv transform (round 3; the original
+Box-Muller map is kept for reference — its log/cos cost ~2x more VPU
+time at the bench shapes).
 
 This is the "serve" path of the framework — the importance-sampling
 application of a learned control (utilities.py:287-359 in the reference,
@@ -57,6 +59,20 @@ def _normals_from_bits(shape):
                        jnp.float32) - 1.0
     r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1 + 1e-12))
     return r * jnp.cos(2.0 * np.pi * u2)
+
+
+def _normals_from_bits_erfinv(shape):
+    """One-draw normals: uniform(-1, 1) -> sqrt(2) * erf_inv(u).
+
+    Half the PRNG bits and none of the log/cos of Box-Muller — the same
+    bits->normal map XLA's own RngBitGenerator lowering uses.  Measured
+    (r3): the Box-Muller variant's transcendentals are a first-order cost
+    of the fused training kernel at (d, K) = (100, 131072)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u01 = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000),
+                        jnp.float32) - 1.0          # [0, 1)
+    u = jnp.clip(2.0 * u01 - 1.0, -1.0 + 1e-7, 1.0 - 1e-7)
+    return np.float32(np.sqrt(2.0)) * lax.erf_inv(u)
 
 
 def fused_controlled_rollout(
@@ -226,7 +242,7 @@ def fused_controlled_rollout(
             if use_host_noise:
                 xi = noise_ref[n]
             else:
-                xi = _normals_from_bits((tile, d))
+                xi = _normals_from_bits_erfinv((tile, d))
             if collect_path:
                 # pre-step state: X_path[n] = X_n (the state the control
                 # was evaluated at)
@@ -287,6 +303,348 @@ def fused_controlled_rollout(
         return named, path[:, :K, :]
     return ISRolloutOut(out[:K, :d], out[:K, d], out[:K, d + 1],
                         out[:K, d + 2])
+
+
+class FusedTrainOut(NamedTuple):
+    XT: jnp.ndarray     # (d, K) final state, COLUMN layout
+    Y: jnp.ndarray      # (K,) accumulated value increments (excl. Y_0)
+    Z_sum: jnp.ndarray  # (K,) KL / Ito accumulator
+    u_l2: jnp.ndarray   # (K,) control-error accumulator
+
+
+def make_fused_train_rollout(
+    problem,
+    z_apply_T: Callable,      # (param_leaves_tuple, tXT (d+1, T)) -> (d, T)
+    example_leaves,           # tuple of f32 arrays (control-net weights)
+    K: int,
+    N: int,
+    delta_t: float,
+    *,
+    adaptive_forward: bool = True,
+    accumulate_kl: bool = False,
+    kl_ito_term: bool = False,
+    u_tab=None,               # (N, d) state-independent reference control
+    tile: int = 4096,
+    interpret: bool = False,
+    host_noise=None,          # (N, d, K) f32: test/CPU mode
+    rng: str = "erfinv",      # in-kernel bits->normal map (or 'boxmuller')
+):
+    """Fully-fused TRAINING rollout with a custom VJP: forward AND
+    backward each run as ONE Pallas kernel per call, with zero
+    per-step HBM traffic.
+
+    Exploits the structure of the detached-forward control-mode rollout
+    (rollout/sde.py: hjb_rollout_batched_grad's derivation): with
+    ``detach_forward`` and y-free h, Y decomposes into per-step increments
+    a_n that depend on the parameters only through Z_n = z(t_n, X_n), and
+    every a_n receives the SAME per-path cotangent dL/dY_k.  The backward
+    pass therefore needs no reverse-time sweep: it REPLAYS the forward
+    path (identical in-kernel TPU PRNG stream, seeded per tile) while
+    accumulating sum_k gY_k * da_{n,k}/dtheta via a traced per-step VJP —
+    residuals are just (params, seed), so HBM traffic is parameters +
+    (K,)-vectors in and tiny per-tile gradients out.
+
+    Layout: the path tile lives TRANSPOSED in VMEM as (d, tile-lanes)
+    columns, so every net matmul runs with the batch in the lane
+    dimension (ansatz/transposed.py layout note; the row-major variant
+    wastes >75% of MXU lanes on 30-wide outputs).  Requires the
+    transposed-coefficient protocol on the problem (base.py: b_T / h_T /
+    f_T) and a column-layout net evaluator (ansatz/transposed.py:
+    make_transposed_apply).
+
+    The measured r2 fused kernel (``fused_controlled_rollout`` +
+    batched-grad assembly) lost 2x to the XLA scan because it streamed
+    the whole (N, K, d) path stack through scoped VMEM; this kernel
+    stores no path at all.
+
+    Semantics match rollout/sde.py: hjb_rollout with detach_forward
+    (solver.py:449-494 step order) except the noise stream: in-kernel TPU
+    PRNG (Box-Muller) instead of fold_in-threefry — statistically, not
+    bitwise, equivalent.  ``host_noise`` injects an explicit (N, d, K)
+    stream for bitwise tests.  The X chain and u_l2 are detached by
+    construction (their cotangents are discarded), exactly as
+    ``detach_forward`` prescribes.
+
+    Returns ``run(leaves, seed_f32) -> FusedTrainOut``; differentiable in
+    ``leaves``.
+    """
+    d = problem.d
+    sig = problem.sigma_struct
+    dt = np.float32(delta_t)
+    sq_dt = np.float32(np.sqrt(delta_t))
+    _normals = (_normals_from_bits_erfinv if rng == "erfinv"
+                else _normals_from_bits)
+    have_u = u_tab is not None
+    # (N, d, 1): the reference-control row for step n is fetched by a
+    # leading-dim dynamic index (Mosaic cannot dynamically slice the lane
+    # dimension, so a (d, N) lane-indexed table does not lower)
+    u_tab3 = (jnp.asarray(u_tab, jnp.float32).reshape(N, d, 1) if have_u
+              else jnp.zeros((N, d, 1), jnp.float32))
+    n_leaves = len(example_leaves)
+    use_host_noise = host_noise is not None
+
+    # -- VMEM guardrail: weights + a handful of (d, tile) f32 buffers
+    # (X, xi, tX, Z, vjp intermediates ~ 3x forward) per resident tile.
+    weight_bytes = sum(int(np.prod(x.shape)) * 4 for x in example_leaves)
+    hidden_rows = sum(int(x.shape[-1]) for x in example_leaves
+                      if getattr(x, "ndim", 0) >= 2)
+
+    def vmem_estimate(t):
+        bufs = 4 * t * (8 * d + 4 * hidden_rows + 64)
+        noise = 4 * N * d * t if use_host_noise else 0
+        return 2 * weight_bytes + bufs + noise
+
+    while tile > 128 and vmem_estimate(tile) > 96 * 2**20:
+        tile //= 2
+    if vmem_estimate(tile) > 96 * 2**20:
+        raise ValueError(
+            "fused_train_rollout: VMEM estimate %.1f MiB exceeds budget "
+            "even at tile=128 (net too large) - use the scan path."
+            % (vmem_estimate(tile) / 2**20))
+    n_tiles = pl.cdiv(K, tile)
+    Kp = n_tiles * tile
+
+    # ---- step math (traced, then closure-converted into the kernels) ----
+    def step_math(XT, t, u_col, xi, *params):
+        T_ = XT.shape[1]
+        tX = jnp.concatenate(
+            [jnp.zeros((1, T_), jnp.float32) + t, XT], axis=0)
+        Z = z_apply_T(tuple(params), tX)
+        if adaptive_forward:
+            c = -lax.stop_gradient(Z)
+        else:
+            c = jnp.zeros_like(Z)
+        X_new = lax.stop_gradient(
+            XT + (problem.b_T(XT) + sig.apply_cols(c)) * dt
+            + sig.apply_cols(xi) * sq_dt)
+        Zc = jnp.sum(Z * c, axis=0, keepdims=True)
+        Zxi = jnp.sum(Z * xi, axis=0, keepdims=True)
+        # y-free h is a requirement of this kernel's gradient
+        # derivation (solver gate: problem.h_is_y_free)
+        hv = problem.h_T(t, X_new, jnp.zeros((T_,), jnp.float32),
+                         Z).reshape(1, T_)
+        a = (-hv + Zc) * dt + Zxi * sq_dt
+        kl = jnp.zeros_like(a)
+        if accumulate_kl:
+            fv = problem.f_T(X_new, t).reshape(1, T_)
+            kl = (0.5 * jnp.sum(Z * Z, axis=0, keepdims=True) + fv) * dt
+            if kl_ito_term:
+                kl = kl - Zxi * sq_dt
+        ul2 = jnp.zeros_like(a)
+        if have_u:
+            err = -lax.stop_gradient(Z) - u_col
+            ul2 = jnp.sum(err * err, axis=0, keepdims=True) * dt
+        return X_new, a, kl, ul2
+
+    def bwd_math(XT, t, u_col, xi, gy, gkl, *params):
+        def of_params(*ps):
+            X_new, a, kl, _ = step_math(XT, t, u_col, xi, *ps)
+            return X_new, a, kl
+        (X_new, _, _), pull = jax.vjp(of_params, *params)
+        grads = pull((jnp.zeros_like(XT), gy, gkl))
+        return (X_new,) + tuple(grads)
+
+    from jax.extend.core import ClosedJaxpr, jaxpr_as_fun
+
+    X_ex = jax.ShapeDtypeStruct((d, tile), jnp.float32)
+    t_ex = jax.ShapeDtypeStruct((), jnp.float32)
+    u_ex = jax.ShapeDtypeStruct((d, 1), jnp.float32)
+    g_ex = jax.ShapeDtypeStruct((1, tile), jnp.float32)
+
+    def _closure_convert(fn, *example):
+        cj = jax.make_jaxpr(fn)(*example)
+        consts = [jnp.asarray(c) for c in cj.consts]
+        open_jaxpr = cj.jaxpr.replace(
+            invars=list(cj.jaxpr.constvars) + list(cj.jaxpr.invars),
+            constvars=[])
+        return jaxpr_as_fun(ClosedJaxpr(open_jaxpr, ())), consts
+
+    fwd_open, fwd_consts = _closure_convert(
+        step_math, X_ex, t_ex, u_ex, X_ex, *example_leaves)
+    bwd_open, bwd_consts = _closure_convert(
+        bwd_math, X_ex, t_ex, u_ex, X_ex, g_ex, g_ex, *example_leaves)
+
+    def _canon(xs):
+        shapes = [x.shape for x in xs]
+        arrs = [jnp.asarray(x).reshape(
+            x.shape if getattr(x, "ndim", 0) == 2 else (1, -1)) for x in xs]
+        return arrs, shapes
+
+    X0col = problem.X_0.astype(jnp.float32).reshape(d, 1)
+    hn = None
+    if use_host_noise:
+        hn = jnp.pad(jnp.asarray(host_noise, jnp.float32),
+                     ((0, 0), (0, 0), (0, Kp - K)))
+
+    def full_spec(x):
+        nd = len(x.shape)
+        return pl.BlockSpec(x.shape, lambda i, *_: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+    noise_spec = pl.BlockSpec((N, d, tile), lambda i, *_: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    compiler_params = None
+    if not interpret:
+        # tiles are independent: let Mosaic stream/overlap the K grid
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+
+    # ------------------------------------------------------------- forward
+    def _fwd(leaves, seed):
+        consts2d, cshapes = _canon(list(leaves) + list(fwd_consts))
+        inputs = consts2d + [u_tab3, X0col]
+        if use_host_noise:
+            inputs.append(hn)
+        n_in = len(inputs)
+
+        def kernel(seed_ref, *refs):
+            in_refs = refs[:n_in]
+            xt_out, acc_out = refs[n_in], refs[n_in + 1]
+            noise_ref = in_refs[-1] if use_host_noise else None
+            base = in_refs[:len(cshapes)]
+            u_ref = in_refs[len(cshapes)]
+            x0_ref = in_refs[len(cshapes) + 1]
+            if not use_host_noise:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            extra = tuple(r[:].reshape(cshapes[j])
+                          for j, r in enumerate(base))
+            X0 = jnp.broadcast_to(x0_ref[:], (d, tile))
+            z = jnp.zeros((1, tile), jnp.float32)
+
+            def body(n, carry):
+                X, aY, aK, aU = carry
+                t = n.astype(jnp.float32) * dt
+                xi = (noise_ref[n] if use_host_noise
+                      else _normals((d, tile)))
+                u_col = u_ref[n]
+                pvals = extra[:n_leaves]
+                cvals = extra[n_leaves:]
+                X, a, kl, ul2 = fwd_open(*cvals, X, t, u_col, xi, *pvals)
+                return X, aY + a, aK + kl, aU + ul2
+
+            X, aY, aK, aU = lax.fori_loop(0, N, body, (X0, z, z, z))
+            xt_out[:] = X
+            acc_out[0:1, :] = aY
+            acc_out[1:2, :] = aK
+            acc_out[2:3, :] = aU
+            acc_out[3:, :] = jnp.zeros((5, tile), jnp.float32)
+
+        in_specs = [full_spec(x) for x in inputs[:n_in]]
+        if use_host_noise:
+            in_specs[-1] = noise_spec
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((d, tile), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, tile), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM)),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((d, Kp), jnp.float32),
+                       jax.ShapeDtypeStruct((8, Kp), jnp.float32)),
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(jnp.asarray([seed], jnp.int32), *inputs)
+        XT, acc = out
+        return FusedTrainOut(XT[:, :K], acc[0, :K], acc[1, :K],
+                             acc[2, :K])
+
+    # ------------------------------------------------------------ backward
+    def _bwd(leaves, seed, gY, gKL):
+        consts2d, cshapes = _canon(list(leaves) + list(bwd_consts))
+        gY2 = jnp.pad(gY.astype(jnp.float32), (0, Kp - K)).reshape(
+            n_tiles, tile)
+        gK2 = jnp.pad(gKL.astype(jnp.float32), (0, Kp - K)).reshape(
+            n_tiles, tile)
+        inputs = consts2d + [u_tab3, X0col, gY2, gK2]
+        if use_host_noise:
+            inputs.append(hn)
+        n_in = len(inputs)
+        leaf_shapes = [tuple(x.shape) if x.ndim == 2 else (1, x.shape[0])
+                       for x in leaves]
+
+        def kernel(seed_ref, *refs):
+            in_refs = refs[:n_in]
+            grad_refs = refs[n_in:]
+            noise_ref = in_refs[-1] if use_host_noise else None
+            base = in_refs[:len(cshapes)]
+            u_ref = in_refs[len(cshapes)]
+            x0_ref = in_refs[len(cshapes) + 1]
+            gy_ref = in_refs[len(cshapes) + 2]
+            gk_ref = in_refs[len(cshapes) + 3]
+            if not use_host_noise:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            extra = tuple(r[:].reshape(cshapes[j])
+                          for j, r in enumerate(base))
+            X0 = jnp.broadcast_to(x0_ref[:], (d, tile))
+            # full-array refs (a (1, tile) block would violate the (8, 128)
+            # sublane tiling); slice this tile's row dynamically
+            gy = gy_ref[pl.ds(pl.program_id(0), 1), :]
+            gk = gk_ref[pl.ds(pl.program_id(0), 1), :]
+            g0 = tuple(jnp.zeros(s, jnp.float32) for s in leaf_shapes)
+
+            def body(n, carry):
+                X = carry[0]
+                gacc = carry[1:]
+                t = n.astype(jnp.float32) * dt
+                xi = (noise_ref[n] if use_host_noise
+                      else _normals((d, tile)))
+                u_col = u_ref[n]
+                pvals = extra[:n_leaves]
+                cvals = extra[n_leaves:]
+                outs = bwd_open(*cvals, X, t, u_col, xi, gy, gk, *pvals)
+                X_new = outs[0]
+                g_new = tuple(
+                    ga + gn.reshape(s)
+                    for ga, gn, s in zip(gacc, outs[1:], leaf_shapes))
+                return (X_new,) + g_new
+
+            out = lax.fori_loop(0, N, body, (X0,) + g0)
+            for j, gref in enumerate(grad_refs):
+                gref[:] = out[1 + j][None]
+
+        in_specs = [full_spec(x) for x in inputs[:n_in]]
+        if use_host_noise:
+            in_specs[-1] = noise_spec
+        out_specs = tuple(
+            pl.BlockSpec((1,) + s, lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for s in leaf_shapes)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((n_tiles,) + s, jnp.float32)
+            for s in leaf_shapes)
+        per_tile = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_tiles,),
+                in_specs=in_specs, out_specs=out_specs),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(jnp.asarray([seed], jnp.int32), *inputs)
+        return tuple(
+            g.sum(axis=0).reshape(l.shape)
+            for g, l in zip(per_tile, leaves))
+
+    # ------------------------------------------------- custom-VJP wrapper
+    @jax.custom_vjp
+    def run(leaves, seed_f32):
+        return _fwd(leaves, seed_f32.astype(jnp.int32))
+
+    def run_fwd(leaves, seed_f32):
+        seed = seed_f32.astype(jnp.int32)
+        return _fwd(leaves, seed), (leaves, seed)
+
+    def run_bwd(res, ct):
+        leaves, seed = res
+        # detach_forward semantics: the X chain (and the stop-gradient
+        # u_l2 diagnostic) carry no parameter cotangent; Y and Z_sum do.
+        grads = _bwd(leaves, seed, ct.Y, ct.Z_sum)
+        return grads, jnp.zeros((), jnp.float32)
+
+    run.defvjp(run_fwd, run_bwd)
+    return run
 
 
 def reference_controlled_rollout(problem, u_apply, param_leaves, K, N,

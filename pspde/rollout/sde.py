@@ -165,6 +165,107 @@ def hjb_rollout(
     return HJBRolloutOut(X, Y, Z_sum, u_l2, add_loss)
 
 
+def hjb_rollout_dk(
+    cfg: HJBRolloutConfig,
+    problem,
+    control_T_fn: Callable,   # (params, XT (d, K), n, t) -> ZT (d, K)
+    params: Any,
+    X0T: jnp.ndarray,         # (d, K)
+    Y0: jnp.ndarray,          # (K,)
+    key: jax.Array,
+    u_tab: Optional[jnp.ndarray] = None,  # (N, d) state-indep. reference
+    noise_layout: str = "dk",
+) -> HJBRolloutOut:
+    """Transposed (K-in-lanes) variant of :func:`hjb_rollout`.
+
+    The path state is carried as (d, K) COLUMNS so every net matmul puts
+    the huge path axis in the TPU lane dimension (ansatz/transposed.py
+    layout note) — measured on v5e at the d=100 bench config this plus
+    rng_impl='rbg' lifts the full train step from 112M to ~176M
+    path-steps/s (the row-major layout is matmul-lane-bound; fixing that
+    exposes the threefry PRNG as the next wall, which rbg removes;
+    neither fix alone moves the needle).  Semantics are identical to
+    :func:`hjb_rollout` step-for-step (solver.py:449-494 order).
+
+    Requirements (asserted): control mode, no burgers drift, problem
+    implements the transposed-coefficient protocol (base.py: b_T / h_T /
+    f_T), and u-L2 tracking only via a state-independent table ``u_tab``.
+
+    ``noise_layout='kd'`` draws the exact fold_in noise stream of
+    :func:`hjb_rollout` (a (K, d) draw transposed per step — one extra
+    relayout per step, for bitwise equivalence tests); the default 'dk'
+    draws (d, K) directly (statistically identical, bitwise different).
+
+    Returns X in the standard (K, d) row layout (one terminal transpose).
+    """
+    assert not cfg.value_mode and not cfg.burgers_drift
+    d, K = X0T.shape
+    x_dtype = X0T.dtype
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    f32 = jnp.float32
+    sig = problem.sigma_struct
+
+    def step(carry, n):
+        XT, Y, Z_sum, u_l2 = carry
+        t = n.astype(f32) * dt
+
+        ZT = control_T_fn(params, XT, n, t)
+        if cfg.repa_phase is not None and cfg.repa_phase == 0:
+            Z_used = lax.stop_gradient(ZT)
+        else:
+            Z_used = ZT
+
+        c = -ZT if cfg.adaptive_forward else jnp.zeros_like(XT)
+        if cfg.detach_forward or (cfg.repa_phase is not None
+                                  and cfg.repa_phase == 1):
+            c = lax.stop_gradient(c)
+
+        if noise_layout == "kd":
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                                   dtype=f32).T
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (d, K),
+                                   dtype=f32)
+
+        XT_new = (XT + (problem.b_T(XT) + sig.apply_cols(c)) * dt
+                  + sig.apply_cols(xi) * sq_dt).astype(x_dtype)
+        if cfg.detach_forward:
+            XT_new = lax.stop_gradient(XT_new)
+
+        Z32 = Z_used.astype(f32)
+        Zc = jnp.sum(Z32 * c.astype(f32), axis=0)
+        Zxi = jnp.sum(Z32 * xi, axis=0)
+        Y_new = (Y + (-problem.h_T(t, XT_new, Y, Z_used).astype(f32)
+                      + Zc) * dt
+                 + Zxi * sq_dt)
+
+        if cfg.reparametrization:
+            v = lax.stop_gradient(-ZT).astype(f32)
+            Z_sum = Z_sum + (-0.5 * jnp.sum(v * v, axis=0) * dt
+                             + jnp.sum(v * c.astype(f32), axis=0) * dt
+                             + jnp.sum(v * xi, axis=0) * sq_dt)
+        if cfg.accumulate_kl:
+            Z_sum = Z_sum + (0.5 * jnp.sum(Z32 * Z32, axis=0)
+                             + problem.f_T(XT_new, t).astype(f32)) * dt
+            if cfg.kl_ito_term:
+                Z_sum = Z_sum - Zxi * sq_dt
+
+        if cfg.track_u_l2 and u_tab is not None:
+            err = -lax.stop_gradient(Z32) - u_tab[n][:, None]
+            u_l2 = u_l2 + jnp.sum(err * err, axis=0) * dt
+
+        return (XT_new, Y_new, Z_sum, u_l2), None
+
+    if cfg.remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    zeros = jnp.zeros((K,), dtype=f32)
+    carry0 = (X0T, Y0.astype(f32), zeros, zeros)
+    (XT, Y, Z_sum, u_l2) = _remat_scan(step, carry0, cfg.N, cfg.remat)
+    return HJBRolloutOut(XT.T, Y, Z_sum, u_l2, jnp.zeros_like(Y))
+
+
 def _remat_scan(step, carry0, N: int, remat: bool, threshold: int = 2048):
     """Run ``lax.scan(step, carry0, arange(N))`` — but for long
     rematerialized horizons (remat and N > threshold), as a

@@ -31,7 +31,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ansatz import DenseNet, ScalarParam, TanhMLP
 from ..losses.pathspace import (hjb_loss, log_variance_y0_losses)
 from ..rollout.sde import (HJBRolloutConfig, hjb_rollout,
-                           hjb_rollout_batched_grad, hjb_rollout_fused)
+                           hjb_rollout_batched_grad, hjb_rollout_dk,
+                           hjb_rollout_fused)
 from ._chunk import run_training
 
 
@@ -69,7 +70,8 @@ class HJBSolver:
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32,
-                 rollout_mode="scan", steps_per_call=1):
+                 rollout_mode="scan", steps_per_call=1,
+                 rng_impl="threefry", layout="kd"):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -120,15 +122,37 @@ class HJBSolver:
         # (gradient-free forward + one flattened (N*K)-row differentiable
         # control evaluation; requires detach_forward and y-free h — wins
         # in dispatch-bound regimes, loses to scan+remat when HBM-bound),
-        # or 'fused' (batched_grad with the forward path fused into one
+        # 'fused' (batched_grad with the forward path fused into one
         # Pallas kernel — weights + path tile VMEM-resident, in-kernel TPU
         # PRNG; additionally requires 'inner' control ansatz,
-        # state-independent sigma, fixed X_0, f32, single device)
+        # state-independent sigma, fixed X_0, f32, single device), or
+        # 'fused_train' (forward AND backward each one Pallas kernel with
+        # the path tile transposed K-in-lanes in VMEM and zero per-step
+        # HBM traffic — rollout/kernels.py: make_fused_train_rollout;
+        # same requirements as 'fused' plus the problem's transposed-
+        # coefficient protocol and a transposed-apply-capable control net)
         self.rollout_mode = rollout_mode
+        # layout='dk' carries the scan path state transposed (d, K) so the
+        # hot matmuls run K-in-lanes (rollout/sde.py: hjb_rollout_dk;
+        # requires the problem's transposed-coefficient protocol, control
+        # mode, and a transposed-apply-capable net — silently falls back
+        # to 'kd' otherwise).  Combine with rng_impl='rbg' for the full
+        # measured speedup (neither alone moves the needle).
+        self.layout = layout
 
         # -- ansatz ---------------------------------------------------------
+        # rng_impl: 'threefry' (default; cross-backend reproducible,
+        # checkpoint-stable key format) or 'rbg' (XLA RngBitGenerator for
+        # the in-rollout normal draws — measured 1.5x faster full train
+        # step on v5e at the bench config, since threefry bit generation
+        # alone is ~40% of the step; key DERIVATION stays threefry, so
+        # fold_in/split semantics are unchanged).  Param init always uses
+        # threefry so parameters are identical across rng_impl settings.
+        self.rng_impl = rng_impl
         key = jax.random.PRNGKey(seed)
         k_net, k_y0, self._train_key = jax.random.split(key, 3)
+        if rng_impl != "threefry":
+            self._train_key = jax.random.key(seed ^ 0x5eed, impl=rng_impl)
         params = {}
         if approx_method == "control":
             d_in = self.d if time_approx == "outer" else self.d + 1
@@ -308,11 +332,43 @@ class HJBSolver:
             and dtype == jnp.float32
             and self.mesh is None
             and jax.default_backend() == "tpu")
+        use_fused_train = (
+            self.rollout_mode == "fused_train" and path_grad_ok
+            and not cfg.reparametrization
+            and self.approx_method == "control"
+            and self.time_approx == "inner"
+            and not self.random_X_0
+            and dtype == jnp.float32
+            and self.mesh is None
+            and getattr(problem, "supports_transposed", False)
+            and (not self.u_l2_error_flag
+                 or hasattr(problem, "u_ref_table"))
+            and jax.default_backend() == "tpu")
         rollout = (hjb_rollout_batched_grad if use_batched_grad
                    else hjb_rollout)
-        if self.rollout_mode == "fused" and not use_fused:
+        if (self.rollout_mode in ("fused", "fused_train")
+                and not (use_fused or use_fused_train)):
             rollout = (hjb_rollout_batched_grad if path_grad_ok
                        else hjb_rollout)
+
+        if use_fused_train:
+            from ..ansatz.transposed import make_transposed_apply
+            from ..rollout.kernels import make_fused_train_rollout
+            try:
+                leaves_ex, z_apply_T = make_transposed_apply(
+                    self.z_net, self.params["z"])
+            except NotImplementedError:
+                use_fused_train = False
+        if use_fused_train:
+            u_tab = None
+            if self.u_l2_error_flag:
+                u_tab = problem.u_ref_table(
+                    np.arange(self.N) * self.delta_t)
+            fused_train_run = make_fused_train_rollout(
+                problem, z_apply_T, leaves_ex, K, self.N, self.delta_t,
+                adaptive_forward=cfg.adaptive_forward,
+                accumulate_kl=cfg.accumulate_kl,
+                kl_ito_term=cfg.kl_ito_term, u_tab=u_tab)
 
         if use_fused:
             z_treedef = jax.tree.structure(self.params["z"])
@@ -326,10 +382,71 @@ class HJBSolver:
                 def u_apply(leaves_t, tX):
                     return jnp.zeros((tX.shape[0], d), jnp.float32)
 
+        # transposed (K-in-lanes) scan layout
+        use_dk = (
+            self.layout == "dk" and self.rollout_mode == "scan"
+            and self.approx_method == "control"
+            and not cfg.value_mode and not cfg.burgers_drift
+            and getattr(problem, "supports_transposed", False)
+            and (not self.u_l2_error_flag
+                 or hasattr(problem, "u_ref_table")))
+        if use_dk:
+            from ..ansatz.transposed import transposed_apply
+            z_net_dk = self.z_net
+            N_dk = self.N
+            try:  # probe net support once at trace-build time
+                d_in = d if self.time_approx == "outer" else d + 1
+                sample_p = (select_step(self.params["z"], 0, N_dk)
+                            if self.time_approx == "outer"
+                            else self.params["z"])
+                jax.eval_shape(lambda p: transposed_apply(
+                    z_net_dk, p, jnp.zeros((d_in, 4), dtype)), sample_p)
+            except NotImplementedError:
+                use_dk = False
+        if use_dk:
+            if self.time_approx == "outer":
+                def control_T_fn(params, XT, n, t):
+                    p = select_step(params["z"], n, N_dk)
+                    return transposed_apply(z_net_dk, p, XT)
+            else:
+                def control_T_fn(params, XT, n, t):
+                    tX = jnp.concatenate(
+                        [jnp.zeros((1, XT.shape[1]), XT.dtype) + t, XT],
+                        axis=0)
+                    return transposed_apply(z_net_dk, params["z"], tX)
+            u_tab_dk = (problem.u_ref_table(np.arange(self.N)
+                                            * self.delta_t)
+                        if self.u_l2_error_flag else None)
+
+            def init_XT(key):
+                if self.random_X_0:
+                    X0T = jax.random.normal(key, (d, K), dtype=dtype)
+                else:
+                    X0T = jnp.broadcast_to(
+                        problem.X_0.astype(dtype)[:, None], (d, K))
+                if self.mesh is not None:
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                return X0T
+
         def rollout_outputs(params, key):
             kx, kr = jax.random.split(key)
+            if use_dk:
+                X0T = init_XT(kx)
+                Y0 = self._shard(y_init(params, X0T[:1, :].T))
+                return hjb_rollout_dk(cfg, problem, control_T_fn, params,
+                                      X0T, Y0, kr, u_tab=u_tab_dk)
             X0 = init_X(kx)
             Y0 = self._shard(y_init(params, X0))
+            if use_fused_train:
+                from ..rollout.sde import HJBRolloutOut
+                leaves = tuple(jax.tree.leaves(params["z"]))
+                seed_f = jax.random.randint(
+                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
+                out = fused_train_run(leaves, seed_f)
+                Y = Y0.astype(jnp.float32) + out.Y
+                return HJBRolloutOut(out.XT.T, Y, out.Z_sum, out.u_l2,
+                                     jnp.zeros_like(out.Y))
             if use_fused:
                 leaves = tuple(jax.tree.leaves(params["z"]))
                 return hjb_rollout_fused(cfg, problem, control_fn, params,
@@ -458,8 +575,7 @@ class HJBSolver:
                 and self.IS_variance_K == 0):
             run_training(self, self._build_step(0),
                          stop_check=self._early_stop)
-            if self.save_results:
-                self.save_logs()
+            self._finish_train()
             return
         key = self._train_key
         rel_IS = None
@@ -517,8 +633,19 @@ class HJBSolver:
                         / (self.u_L2_loss[-1] + 1e-30) < 0.02):
                     break
 
+        self._finish_train()
+
+    def _finish_train(self):
         if self.save_results:
             self.save_logs()
+        if self.plot_trajectories:
+            # solver.py:75 + utilities.py:277-282: plot a learned-control
+            # path ensemble after training (the reference stores the kwarg
+            # and forwards it to do_importance_sampling's trajectory plot)
+            from ..eval.plotting import plot_path_ensemble
+            self.trajectory_fig, _ = plot_path_ensemble(
+                self.problem, self, int(self.plot_trajectories),
+                control="approx", delta_t=self.delta_t)
 
     # -- evaluation API (used by eval/, mirrors Z_n semantics) -------------
     def Z_n(self, X, t: float):

@@ -10,7 +10,18 @@ from __future__ import annotations
 
 import os
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+
+def _unwrap_key(key):
+    """(raw_uint32_data, impl_name_or_None): typed PRNG keys (e.g. the
+    solvers' rng_impl='rbg' mode) are stored as their raw key data plus
+    the impl name, since orbax cannot serialize extended dtypes."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key), str(jax.random.key_impl(key))
+    return key, None
 
 
 def save_params(path: str, params, opt_state=None):
@@ -45,13 +56,15 @@ def save_training_state(path: str, solver):
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
+    key_data, key_impl = _unwrap_key(solver._train_key)
     ckptr.save(path, {"params": solver.params,
                       "opt_state": solver.opt_state,
-                      "train_key": solver._train_key}, force=True)
+                      "train_key": key_data}, force=True)
     ckptr.wait_until_finished()
     logs = {name: getattr(solver, name) for name in solver._LOG_ATTRS}
     with open(path + ".logs.json", "w") as f:
-        json.dump({"step": solver.step, "logs": logs}, f)
+        json.dump({"step": solver.step, "logs": logs,
+                   "key_impl": key_impl}, f)
     return path
 
 
@@ -61,14 +74,18 @@ def load_training_state(path: str, solver):
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
+    key_like, _ = _unwrap_key(solver._train_key)
     restored = ckptr.restore(path, {"params": solver.params,
                                     "opt_state": solver.opt_state,
-                                    "train_key": solver._train_key})
+                                    "train_key": key_like})
+    with open(path + ".logs.json") as f:
+        meta = json.load(f)
     solver.params = restored["params"]
     solver.opt_state = restored["opt_state"]
     solver._train_key = restored["train_key"]
-    with open(path + ".logs.json") as f:
-        meta = json.load(f)
+    if meta.get("key_impl"):
+        solver._train_key = jax.random.wrap_key_data(
+            restored["train_key"], impl=meta["key_impl"])
     solver.step = int(meta["step"])
     for name, value in meta["logs"].items():
         setattr(solver, name, value)

@@ -128,3 +128,28 @@ def test_densenet_relu(key):
     # down must be able to produce negative outputs
     neg = jax.tree.map(lambda x: x - 10.0 if x.ndim == 1 else x, params)
     assert float(net.apply(neg, jnp.ones((1, d_in)))[0, 0]) < 0
+
+
+def test_transposed_apply_matches_row_major():
+    """transposed_apply == .apply for the hot-loop modules (the fused
+    training kernel evaluates nets in (d_in, K) column layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pspde.ansatz import DenseNet, DenseNetTanh, DenseNetTanh2, TanhMLP
+    from pspde.ansatz.transposed import (make_transposed_apply,
+                                         transposed_apply)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (37, 7))
+    for module in (TanhMLP(d_out=5), DenseNet(d_out=5, arch=(9, 4)),
+                   DenseNet(d_out=5, arch=(9, 4), output_relu=True),
+                   DenseNetTanh(d_out=3, arch=(8, 8)),
+                   DenseNetTanh2(d_out=2, arch=(6,))):
+        params = module.init(key, x)
+        ref = module.apply(params, x)
+        out = transposed_apply(module, params, x.T).T
+        np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-6)
+        leaves, apply_T = make_transposed_apply(module, params)
+        out2 = apply_T(leaves, x.T).T
+        np.testing.assert_allclose(out2, ref, rtol=2e-6, atol=2e-6)

@@ -1,0 +1,117 @@
+"""Transposed (K-in-lanes) scan rollout == row-major rollout.
+
+``hjb_rollout_dk`` (rollout/sde.py) carries the path state as (d, K)
+columns; with ``noise_layout='kd'`` it consumes the exact fold_in noise
+stream of ``hjb_rollout``, so outputs and loss gradients must agree to
+f32 tolerance.  The fast 'dk' noise layout is statistically equivalent
+only (different draw shape).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pspde.ansatz.transposed import transposed_apply
+from pspde.losses.pathspace import log_variance_loss
+from pspde.problems import LLGC
+from pspde.rollout.sde import hjb_rollout, hjb_rollout_dk
+from pspde.solvers import HJBSolver
+
+K, D, N, DT = 48, 6, 10, 0.1
+
+
+def _setup(**kw):
+    p = LLGC(d=D, T=1.0)
+    s = HJBSolver("dk-test", p, lr=1e-2, L=1, K=K, delta_t=DT,
+                  time_approx="inner", verbose=False,
+                  early_stopping_time=None, **kw)
+    cfg = s._rollout_cfg(0)
+    control_fn = s._control_fn()
+
+    def control_T_fn(params, XT, n, t):
+        tX = jnp.concatenate(
+            [jnp.zeros((1, XT.shape[1]), XT.dtype) + t, XT], axis=0)
+        return transposed_apply(s.z_net, params["z"], tX)
+
+    key = jax.random.PRNGKey(11)
+    X0 = jnp.broadcast_to(p.X_0, (K, D)).astype(jnp.float32)
+    Y0 = jnp.zeros((K,), jnp.float32)
+    u_tab = p.u_ref_table(np.arange(cfg.N) * DT)
+    return p, s, cfg, control_fn, control_T_fn, key, X0, Y0, u_tab
+
+
+def test_dk_matches_kd_outputs_and_grads():
+    p, s, cfg, control_fn, control_T_fn, key, X0, Y0, u_tab = _setup(
+        loss_method="log-variance", detach_forward=True, learn_Y_0=True)
+    ref = hjb_rollout(cfg, p, control_fn, s.params, X0, Y0, key,
+                      u_ref=s._u_ref)
+    out = hjb_rollout_dk(cfg, p, control_T_fn, s.params, X0.T, Y0, key,
+                         u_tab=u_tab, noise_layout="kd")
+    np.testing.assert_allclose(out.X, ref.X, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out.u_l2, ref.u_l2, rtol=2e-4, atol=2e-4)
+
+    def loss_kd(params):
+        o = hjb_rollout(cfg, p, control_fn, params, X0, Y0, key)
+        return log_variance_loss(o.Y, p.g(o.X))
+
+    def loss_dk(params):
+        o = hjb_rollout_dk(cfg, p, control_T_fn, params, X0.T, Y0, key,
+                           noise_layout="kd")
+        return log_variance_loss(o.Y, p.g(o.X))
+
+    g_kd = jax.grad(loss_kd)(s.params)
+    g_dk = jax.grad(loss_dk)(s.params)
+    for a, b in zip(jax.tree.leaves(g_kd), jax.tree.leaves(g_dk)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+
+
+def test_dk_matches_kd_kl_nondetached():
+    """Non-detached forward (gradient through the X chain) + KL
+    accumulator (relative-entropy loss config)."""
+    p, s, cfg, control_fn, control_T_fn, key, X0, Y0, u_tab = _setup(
+        loss_method="relative_entropy", detach_forward=False)
+    assert cfg.accumulate_kl and not cfg.detach_forward
+    ref = hjb_rollout(cfg, p, control_fn, s.params, X0, Y0, key)
+    out = hjb_rollout_dk(cfg, p, control_T_fn, s.params, X0.T, Y0, key,
+                         noise_layout="kd")
+    np.testing.assert_allclose(out.Z_sum, ref.Z_sum, rtol=2e-4, atol=2e-4)
+
+    def loss_kd(params):
+        o = hjb_rollout(cfg, p, control_fn, params, X0, Y0, key)
+        return jnp.mean(o.Z_sum + p.g(o.X))
+
+    def loss_dk(params):
+        o = hjb_rollout_dk(cfg, p, control_T_fn, params, X0.T, Y0, key,
+                           noise_layout="kd")
+        return jnp.mean(o.Z_sum + p.g(o.X))
+
+    g_kd = jax.grad(loss_kd)(s.params)
+    g_dk = jax.grad(loss_dk)(s.params)
+    for a, b in zip(jax.tree.leaves(g_kd), jax.tree.leaves(g_dk)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+
+
+def test_solver_layout_dk_trains():
+    """layout='dk' end-to-end: converges like the kd default."""
+    p = LLGC(d=2, T=1.0)
+    s = HJBSolver("dk-train", p, lr=1e-2, L=150, K=256, delta_t=0.05,
+                  time_approx="inner", loss_method="log-variance",
+                  learn_Y_0=True, verbose=False, early_stopping_time=None,
+                  layout="dk", rng_impl="rbg")
+    s.train()
+    assert s.u_L2_loss[-1] < 0.05
+    assert s.loss_log[-1] < 0.1 * s.loss_log[0]
+
+
+def test_solver_layout_dk_falls_back_without_protocol():
+    """A problem without the transposed protocol silently uses kd."""
+    from pspde.problems import HeatEquation
+    p = HeatEquation(d=3, T=0.5)
+    assert not p.supports_transposed
+    s = HJBSolver("dk-fb", p, lr=1e-2, L=3, K=16, delta_t=0.1,
+                  time_approx="inner", verbose=False,
+                  early_stopping_time=None, layout="dk",
+                  u_l2_error_flag=False)
+    s.train()
+    assert np.isfinite(s.loss_log).all()

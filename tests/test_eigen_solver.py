@@ -34,6 +34,41 @@ def test_schrodinger_lambda_moves_toward_true():
     assert np.isfinite(s.loss_log[-1])
 
 
+def test_estimate_lambda_affine_identity_and_shift():
+    """Y(lambda) is affine in lambda at frozen V, and shifting the base
+    problem by h -> h + mu*y shifts the regression readout by exactly
+    -mu (no training needed for either identity)."""
+    from pspde.solvers.eigen import _LambdaShiftedProblem
+
+    p = FokkerPlanckEigen(d=2)
+    s = EigenSolver(p, "fp", L=30, K=128, K_boundary=32, N=10,
+                    verbose=False)
+    s.train()
+    lam0, err0 = s.estimate_lambda(K=512, n_batches=4)
+    assert np.isfinite(lam0) and err0 >= 0.0
+
+    # shifted problem: same geometry/sigma, h + mu*y
+    mu = 0.37
+    shifted = _LambdaShiftedProblem(p, mu)
+    shifted.geometry = p.geometry
+    shifted.d = p.d
+    s2 = EigenSolver.__new__(EigenSolver)
+    s2.__dict__.update(s.__dict__)
+    s2.problem = shifted
+    lam1, _ = s2.estimate_lambda(K=512, n_batches=4)
+    assert abs((lam1 + mu) - lam0) < 5e-3
+
+
+def test_lambda_tail_mean():
+    p = FokkerPlanckEigen(d=2)
+    s = EigenSolver(p, "fp", L=20, K=64, K_boundary=32, N=5, verbose=False)
+    assert s.lambda_tail_mean() is None
+    s.train()
+    assert abs(s.lambda_tail_mean(window=20)
+               - np.mean(s.lambda_log)) < 1e-12
+    assert s.lambda_tail_mean(window=1) == s.lambda_log[-1]
+
+
 def test_loss_parts_logged():
     p = FokkerPlanckEigen(d=2)
     s = EigenSolver(p, "fp", L=5, K=64, K_boundary=32, N=5, verbose=False)

@@ -168,3 +168,90 @@ def test_hjb_nested_remat_matches_plain_scan():
     np.testing.assert_allclose(l_plain, l_remat, rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_fused_train_kernel_matches_scan(setup):
+    """make_fused_train_rollout (fwd+bwd Pallas kernels, transposed
+    K-in-lanes layout) == hjb_rollout: outputs AND parameter gradients,
+    on the identical injected noise stream."""
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    from pspde.ansatz.transposed import make_transposed_apply
+    from pspde.rollout.kernels import make_fused_train_rollout
+
+    leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
+    noise_T = jnp.transpose(noise, (0, 2, 1))       # (N, d, K)
+    run = make_fused_train_rollout(
+        p, z_apply_T, leaves_ex, K, N, DT, adaptive_forward=True,
+        u_tab=p.u_ref_table(np.arange(N) * DT), tile=32,
+        interpret=True, host_noise=noise_T)
+
+    ref = hjb_rollout(cfg, p, control_fn, s.params, X0, Y0, key,
+                      u_ref=s._u_ref)
+    leaves = tuple(jax.tree.leaves(s.params["z"]))
+    out = run(leaves, jnp.float32(0))
+    np.testing.assert_allclose(out.XT.T, ref.X, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out.u_l2, ref.u_l2, rtol=2e-4, atol=2e-4)
+
+    treedef = jax.tree.structure(s.params["z"])
+
+    def loss_scan(params):
+        o = hjb_rollout(cfg, p, control_fn, params, X0, Y0, key,
+                        u_ref=s._u_ref)
+        return log_variance_loss(o.Y, p.g(o.X))
+
+    def loss_fused(leaves):
+        o = run(leaves, jnp.float32(0))
+        return log_variance_loss(o.Y, p.g(o.XT.T))
+
+    g_ref = jax.grad(loss_scan)(s.params)["z"]
+    g_fus = jax.tree.unflatten(treedef, list(jax.grad(loss_fused)(leaves)))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6)
+
+
+def test_fused_train_kernel_kl_accumulator(setup):
+    """Z_sum (relative-entropy accumulator) and its gradient flow through
+    the fused training kernel's custom VJP."""
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    import dataclasses
+    from pspde.ansatz.transposed import make_transposed_apply
+    from pspde.rollout.kernels import make_fused_train_rollout
+
+    cfg_kl = dataclasses.replace(cfg, accumulate_kl=True)
+    leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
+    noise_T = jnp.transpose(noise, (0, 2, 1))
+    run = make_fused_train_rollout(
+        p, z_apply_T, leaves_ex, K, N, DT, adaptive_forward=True,
+        accumulate_kl=True, u_tab=None, tile=32,
+        interpret=True, host_noise=noise_T)
+    ref = hjb_rollout(cfg_kl, p, control_fn, s.params, X0, Y0, key)
+    leaves = tuple(jax.tree.leaves(s.params["z"]))
+    out = run(leaves, jnp.float32(0))
+    np.testing.assert_allclose(out.Z_sum, ref.Z_sum, rtol=2e-4, atol=2e-4)
+
+    def loss_scan(params):
+        o = hjb_rollout(cfg_kl, p, control_fn, params, X0, Y0, key)
+        return jnp.mean(o.Z_sum + p.g(o.X))
+
+    def loss_fused(leaves):
+        o = run(leaves, jnp.float32(0))
+        return jnp.mean(o.Z_sum + p.g(o.XT.T))
+
+    treedef = jax.tree.structure(s.params["z"])
+    g_ref = jax.grad(loss_scan)(s.params)["z"]
+    g_fus = jax.tree.unflatten(treedef, list(jax.grad(loss_fused)(leaves)))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6)
+
+
+def test_solver_fused_train_mode_falls_back_off_tpu():
+    """rollout_mode='fused_train' silently falls back off-TPU and trains."""
+    p = LLGC(d=4, T=0.5)
+    s = HJBSolver("ft-fallback", p, lr=1e-2, L=5, K=32, delta_t=0.1,
+                  time_approx="inner", loss_method="log-variance",
+                  detach_forward=True, learn_Y_0=True, verbose=False,
+                  early_stopping_time=None, rollout_mode="fused_train")
+    s.train()
+    assert len(s.loss_log) == 5
+    assert np.isfinite(s.loss_log).all()

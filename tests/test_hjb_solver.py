@@ -138,3 +138,13 @@ def test_save_logs_json(tmp_path):
         logs = json.load(f)
     assert len(logs["loss_log"]) == 3
     assert logs["loss_method"] == "log-variance"
+
+
+def test_rng_impl_rbg_converges():
+    """rng_impl='rbg' (fast XLA RngBitGenerator draws) trains to the same
+    tolerance as the default threefry stream — statistically equivalent
+    noise, identical parameter init."""
+    s = _solver("log-variance", rng_impl="rbg")
+    s.train()
+    assert s.u_L2_loss[-1] < 0.05
+    assert s.loss_log[-1] < 0.1 * s.loss_log[0]

@@ -78,3 +78,16 @@ def test_plot_path_ensemble_and_dw_plots(tmp_path, key):
     f1, f2 = plot_control_for_DoubleWell1d(s, prefix)
     assert os.path.exists(prefix + "-2d.eps")
     assert os.path.exists(prefix + "-1d.eps")
+
+
+def test_plot_trajectories_kwarg_wired():
+    """The ``plot_trajectories`` kwarg (solver.py:75) produces a
+    post-training path-ensemble figure instead of being silently stored."""
+    import matplotlib
+    matplotlib.use("Agg")
+    p = LLGC(d=1, T=0.2)
+    s = HJBSolver("ptraj", p, L=3, lr=1e-2, K=16, delta_t=0.05,
+                  time_approx="inner", verbose=False,
+                  early_stopping_time=None, plot_trajectories=8)
+    s.train()
+    assert s.trajectory_fig is not None

@@ -99,3 +99,26 @@ def test_multihost_swallows_only_double_init(monkeypatch):
     monkeypatch.setattr(mesh_mod.jax.distributed, "initialize", bad_args)
     with pytest.raises(ValueError):
         initialize_multihost(num_processes=2, process_id=0)
+
+
+def test_resume_with_rbg_rng_impl(tmp_path):
+    """rng_impl='rbg' (typed PRNG key) survives the checkpoint round-trip
+    and reproduces the uninterrupted trajectory."""
+    def make(L):
+        return HJBSolver("hrbg", LLGC(d=3, T=0.5), lr=1e-2, L=L, K=64,
+                         delta_t=0.1, time_approx="inner",
+                         loss_method="log-variance", learn_Y_0=True,
+                         verbose=False, early_stopping_time=None,
+                         rng_impl="rbg")
+
+    ref = make(12)
+    ref.train()
+    a = make(12)
+    a.L = 6
+    a.train()
+    path = a.save_training_state(out_dir=str(tmp_path))
+    b = make(12)
+    b.load_training_state(path)
+    b.train()
+    np.testing.assert_allclose(np.asarray(b.loss_log),
+                               np.asarray(ref.loss_log), rtol=1e-5)
