@@ -15,3 +15,5 @@ from .refine import RefinedValue, feynman_kac_refine  # noqa: F401,E402
 from .picard import (picard_refine,  # noqa: F401,E402
                      picard_refine_elliptic)
 from .refine import feynman_kac_refine_elliptic  # noqa: F401,E402
+from .eigen_power import (eigen_power_refine,  # noqa: F401,E402
+                          fk_semigroup_targets)

@@ -218,6 +218,7 @@ def picard_refine_elliptic(
     uniform_square: bool = False,
     key: Optional[jax.Array] = None,
     verbose: bool = False,
+    max_paths_per_call: int = 1_048_576,
 ):
     """Multi-stage Picard refinement of a trained ELLIPTIC value net.
 
@@ -267,13 +268,28 @@ def picard_refine_elliptic(
         (p, _), ls = lax.scan(body, (p, state), None, length=reg_steps)
         return p, ls[-1]
 
+    # The flat (M * K_inner, d) ensemble can exceed HBM at large d /
+    # deep N_cap (a d=50 M=8192 K_inner=512 call crashed the TPU
+    # worker); process anchors in slices bounded by max_paths_per_call.
+    per_slice = max(1, min(M, max_paths_per_call // max(K_inner, 1)))
+    n_slices = -(-M // per_slice)
+
+    def targets_chunked(p, Xs, kr):
+        ts, cf = [], 0.0
+        for j in range(n_slices):
+            sl = Xs[j * per_slice:(j + 1) * per_slice]
+            t, c = targets_jit(p, sl, jax.random.fold_in(kr, j))
+            ts.append(t)
+            cf += float(c) * sl.shape[0]
+        return jnp.concatenate(ts), cf / M
+
     p = params
     history = []
     for stage in range(n_stages):
         key, ka, kr = jax.random.split(key, 3)
         Xs = sample_domain(ka, problem.geometry, M, d,
                            uniform_square=uniform_square)
-        targets, cap_frac = targets_jit(p, Xs, kr)
+        targets, cap_frac = targets_chunked(p, Xs, kr)
         if damping < 1.0:
             targets = (1.0 - damping) * v_of(p)(Xs) + damping * targets
         p, reg_loss = reg_fit(p, Xs, targets)

@@ -83,3 +83,85 @@ def test_mc_targets_elliptic_exact_model():
     err = jnp.abs(targets - p.v_ref(Xs))
     assert float(cap_frac) < 1e-3
     assert float(jnp.mean(err)) < 0.03, float(jnp.mean(err))
+
+
+def test_fk_semigroup_fixes_eigenfunction():
+    """e^{TA} v_ref = v_ref (lambda = 0) for the FP problem: the
+    Feynman-Kac semigroup targets reproduce the exact eigenfunction at
+    the anchors to MC tolerance (eval/eigen_power.py sign conventions)."""
+    from pspde.eval import fk_semigroup_targets
+    from pspde.problems import FokkerPlanckEigen
+
+    p = FokkerPlanckEigen(d=2)
+    key = jax.random.PRNGKey(4)
+    Xs = 2 * jnp.pi * jax.random.uniform(key, (32, 2))
+    t = fk_semigroup_targets(p, p.v_ref, Xs, K_inner=512, T_horizon=0.5,
+                             delta_t=2e-3, key=key)
+    rel = jnp.abs(t - p.v_ref(Xs)) / p.v_ref(Xs)
+    assert float(jnp.mean(rel)) < 0.02, float(jnp.mean(rel))
+
+
+def test_eigen_power_refine_contracts():
+    """A corrupted eigenfunction model contracts toward v_ref under the
+    semigroup power iteration."""
+    import optax
+    from pspde.ansatz import DenseNet
+    from pspde.eval import eigen_power_refine
+    from pspde.problems import FokkerPlanckEigen
+
+    p = FokkerPlanckEigen(d=2)
+    net = DenseNet(d_out=1, arch=(12, 12))
+    key = jax.random.PRNGKey(8)
+    params = net.init(key, jnp.zeros((1, 2)))
+    Xf = 2 * jnp.pi * jax.random.uniform(key, (2048, 2))
+    bad = p.v_ref(Xf) * (1.0 + 0.2 * jnp.sin(Xf[:, 0]))
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def fit(params, st):
+        l, g = jax.value_and_grad(lambda q: jnp.mean(
+            (net.apply(q, Xf)[:, 0] - bad) ** 2))(params)
+        up, st = tx.update(g, st, params)
+        return optax.apply_updates(params, up), st
+
+    for _ in range(1200):
+        params, st = fit(params, st)
+
+    Xt = 2 * jnp.pi * jax.random.uniform(jax.random.PRNGKey(9), (4096, 2))
+    vr = p.v_ref(Xt)
+    mse0 = float(jnp.mean((net.apply(params, Xt)[:, 0] - vr) ** 2))
+    assert mse0 > 2e-3
+
+    # contraction per stage ~ e^{-gap * T}; the d=2 torus gap is ~1, so
+    # T=1.5 gives ~0.22 amplitude (0.05x MSE) per stage
+    refined, hist = eigen_power_refine(
+        p, net, params, n_stages=2, T_horizon=1.5, M=1024, K_inner=256,
+        delta_t=2e-3, reg_steps=4000, K_center=8192,
+        key=jax.random.PRNGKey(10))
+    mse1 = float(jnp.mean((net.apply(refined, Xt)[:, 0] - vr) ** 2))
+    assert mse1 < mse0 / 4, (mse0, mse1, hist)
+
+
+def test_eigen_power_scf_schrodinger():
+    """SCF mode: the cubic-nonlinearity Schroedinger eigenproblem's exact
+    eigenfunction is a fixed point of the frozen-potential semigroup map
+    (targets == e^{lambda... } growth absorbed by the L2 normalization)."""
+    from pspde.eval import fk_semigroup_targets
+    from pspde.problems import SchrodingerEigen
+
+    p = SchrodingerEigen(d=2)
+    key = jax.random.PRNGKey(12)
+    Xs = 2 * jnp.pi * jax.random.uniform(key, (32, 2))
+    T = 0.3
+
+    def W_of(X):
+        v = jnp.maximum(p.v_ref(X), 1e-3)
+        return p.h(X, v, None) / v
+
+    t = fk_semigroup_targets(p, p.v_ref, Xs, K_inner=1024, T_horizon=T,
+                             delta_t=2e-3, key=key, W_of=W_of)
+    # growth e^{-lambda T} = e^{3 T} at the exact eigenpair
+    ratio = t / p.v_ref(Xs)
+    lam_hat = float(-jnp.log(jnp.mean(ratio)) / T)
+    assert abs(lam_hat - p.lambda_true) < 0.15, lam_hat
