@@ -26,10 +26,39 @@ LOSSES = [
 
 
 def main():
-    args = parse_args(default_L=1000)
+    args = parse_args(default_L=1000,
+                      extra={"--long": dict(action="store_true")})
     dw = DoubleWell(d=1, T=1.0, eta=3.0, kappa=5.0)
     dw.compute_reference_solution()
     models = []
+    if args.long:
+        # round 3: can the LEARNED control close on the optimal (FD)
+        # control's IS quality (reference cell 3: RE 1.94, 87.3%
+        # crossings)?  5x budget + cosine lr anneal on the log-variance
+        # leg, then the full 10M-path IS validation with the LEARNED
+        # control (the head-to-head table's IS runs use the FD control).
+        import optax
+        L = max(args.L, 5000)
+        s = HJBSolver("log-variance-annealed", dw, L=L,
+                      lr=optax.cosine_decay_schedule(0.05, L, alpha=0.02),
+                      seed=args.seed, delta_t=0.005, K=10_000,
+                      time_approx="inner", adaptive_forward_process=True,
+                      detach_forward=True, loss_method="log-variance",
+                      metastability_logs=(jnp.ones(1), 0.5),
+                      print_every=max(L // 10, 1),
+                      early_stopping_time=None, steps_per_call=20)
+        s.train()
+        print(f"  annealed: u_L2 {s.u_L2_loss[0]:.2f} -> "
+              f"{s.u_L2_loss[-1]:.3f}, metastable fraction "
+              f"{s.particles_close_to_target[-1]:.3f}")
+        K_is = 100_000 if args.smoke else 10_000_000
+        print(f"=== IS with the LEARNED annealed control, K={K_is} ===")
+        importance_sampling(dw, s, K_is, control="approx",
+                            simulate_naive=True, verbose=True,
+                            cross_statistics=0.0,
+                            key=jax.random.PRNGKey(7))
+        save([s], "DoubleWell_high_metastability_annealed", args)
+        return
     for name, kw in LOSSES:
         s = HJBSolver(name, dw, L=args.L, lr=0.05, seed=args.seed,
                       delta_t=0.005, K=10_000,

@@ -39,6 +39,7 @@ def main():
                              "--leg": dict(type=str, default="all"),
                              "--us": dict(type=str, default="false",
                                           choices=["false", "true", "both"]),
+                             "--anneal": dict(action="store_true"),
                              "--steps-per-call": dict(type=int, default=200)})
     d = 50
     p = ExponentialOnBallNonlinearSin(d=d, alpha=1.0)
@@ -51,7 +52,13 @@ def main():
 
     us_list = {"false": [False], "true": [True],
                "both": [False, True]}[args.us]
-    common = dict(seed=args.seed, delta_t=1e-3, N=20, lr=1e-3, K=200,
+    lr = 1e-3
+    if args.anneal:
+        # round 3 (after the committor finding): a cosine lr anneal turns
+        # out to be what the fresh-sample metric needs at these budgets
+        import optax
+        lr = optax.cosine_decay_schedule(1e-3, args.L, alpha=1e-2)
+    common = dict(seed=args.seed, delta_t=1e-3, N=20, lr=lr, K=200,
                   K_boundary=50, K_test_log=10000, steps_per_call=spc,
                   print_every=max(args.L // 20, 1))
     if args.leg in ("all", "diffusion"):

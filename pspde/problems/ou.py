@@ -264,6 +264,16 @@ class LQGC(Problem):
     def h(self, t, x, y, z):
         return -0.5 * jnp.sum(z * z, axis=-1) - self.f(x, t)
 
+    # -- transposed-coefficient protocol (base.py), batch in columns ----
+    def b_T(self, xT):
+        return jnp.matmul(self.A, xT)
+
+    def f_T(self, xT, t):
+        return jnp.sum(xT * jnp.matmul(self.P, xT), axis=0)
+
+    def h_T(self, t, xT, y, zT):
+        return -0.5 * jnp.sum(zT * zT, axis=0) - self.f_T(xT, t)
+
     def _t_index(self, t: float) -> int:
         return int(np.ceil(t / self.delta_t))
 

@@ -561,9 +561,11 @@ class HJBSolver:
     # ---------------------------------------------------------------------
     def train(self):
         if self.verbose:
-            print("d = %d, L = %d, K = %d, delta_t = %.2e, lr = %.2e, "
+            lr_s = ("%.2e" % self.lr if isinstance(self.lr, (int, float))
+                    else "schedule")  # optax schedules are callables
+            print("d = %d, L = %d, K = %d, delta_t = %.2e, lr = %s, "
                   "%s, %s, %s, %s"
-                  % (self.d, self.L, self.K, self.delta_t, self.lr,
+                  % (self.d, self.L, self.K, self.delta_t, lr_s,
                      self.approx_method, self.time_approx, self.loss_method,
                      "adaptive" if self.adaptive_forward_process else ""))
         # Scan-chunked fast path: valid when the step is phase-static and

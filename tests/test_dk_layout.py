@@ -106,8 +106,8 @@ def test_solver_layout_dk_trains():
 
 def test_solver_layout_dk_falls_back_without_protocol():
     """A problem without the transposed protocol silently uses kd."""
-    from pspde.problems import HeatEquation
-    p = HeatEquation(d=3, T=0.5)
+    from pspde.problems import LLGC_general_f
+    p = LLGC_general_f(d=3, T=0.5)
     assert not p.supports_transposed
     s = HJBSolver("dk-fb", p, lr=1e-2, L=3, K=16, delta_t=0.1,
                   time_approx="inner", verbose=False,
@@ -115,3 +115,33 @@ def test_solver_layout_dk_falls_back_without_protocol():
                   u_l2_error_flag=False)
     s.train()
     assert np.isfinite(s.loss_log).all()
+
+
+def test_dk_lqgc_kl_running_cost():
+    """LQGC (quadratic running cost f in the KL accumulator) through the
+    transposed rollout == row-major, u-L2 off (LQGC's reference control
+    is state-dependent, so no u_tab)."""
+    from pspde.problems import LQGC
+
+    p = LQGC(d=4, T=1.0, delta_t=0.1)
+    s = HJBSolver("dk-lqgc", p, lr=1e-2, L=1, K=32, delta_t=0.1,
+                  time_approx="inner", loss_method="relative_entropy",
+                  verbose=False, early_stopping_time=None,
+                  u_l2_error_flag=False)
+    cfg = s._rollout_cfg(0)
+    control_fn = s._control_fn()
+
+    def control_T_fn(params, XT, n, t):
+        from pspde.ansatz.transposed import transposed_apply
+        tX = jnp.concatenate(
+            [jnp.zeros((1, XT.shape[1]), XT.dtype) + t, XT], axis=0)
+        return transposed_apply(s.z_net, params["z"], tX)
+
+    key = jax.random.PRNGKey(3)
+    X0 = jnp.broadcast_to(p.X_0, (32, 4)).astype(jnp.float32)
+    Y0 = jnp.zeros((32,), jnp.float32)
+    ref = hjb_rollout(cfg, p, control_fn, s.params, X0, Y0, key)
+    out = hjb_rollout_dk(cfg, p, control_T_fn, s.params, X0.T, Y0, key,
+                         noise_layout="kd")
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out.Z_sum, ref.Z_sum, rtol=2e-4, atol=2e-4)
