@@ -174,7 +174,8 @@ def main():
     }[best_name]
     sweep_dtype = jnp.bfloat16 if best_name.startswith("bf16") else \
         jnp.float32
-    for tag, kw in [("spc100", dict(steps_per_call=100)),
+    for tag, kw in [("spc50", dict(steps_per_call=50)),
+                    ("spc100", dict(steps_per_call=100)),
                     ("K262144", dict(K=262144))]:
         attempt(f"{best_name}_{tag}", lambda kw=kw: measure(
             sweep_dtype, **sweep_kw, **kw))

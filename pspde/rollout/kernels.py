@@ -647,6 +647,55 @@ def make_fused_train_rollout(
     return run
 
 
+def make_fused_train_rollout_sharded(
+    problem, z_apply_T, example_leaves, K, N, delta_t, *,
+    mesh, axis="dp", **kw,
+):
+    """dp-sharded wrapper of :func:`make_fused_train_rollout`.
+
+    GSPMD cannot partition a ``pallas_call``, so the fused training kernel
+    is scaled over the path axis with ``jax.shard_map``: each device runs
+    the kernel on its K/n_dp path shard (weights replicated in VMEM), and
+    the transpose of the replicated-leaves input psums the per-shard
+    parameter gradients over ICI — the same collective GSPMD inserts for
+    the scan path's mean reduction.  Per-shard PRNG streams are kept
+    disjoint WITHIN a call (the kernel seeds tile t of a call as
+    ``seed + t``, so shards must be spaced by at least their tile count):
+    shard i runs with ``seed + i * (K_local // 128)``, 128 being the
+    kernel's minimum tile — an upper bound on its tile count that does not
+    depend on the auto-shrunk tile size.  With ``n_dp == 1`` the mapping is
+    the identity, so a 1-device mesh is bitwise identical to the unsharded
+    kernel.  Across calls adjacent seed windows may overlap, exactly as the
+    unsharded kernel's already do — harmless, the parameters differ.
+    Seeds stay exact in f32: ``2**23 + n_dp * K_local/128 < 2**24``.
+
+    ``host_noise`` (test mode) must be the PER-SHARD (N, d, K/n_dp) block;
+    it is closed over and therefore identical on every shard — use it only
+    for plumbing tests (sharded == unsharded-with-K/n_dp-paths).
+    """
+    if not any(ax == axis for ax in mesh.axis_names):
+        raise ValueError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
+    n_dp = mesh.shape[axis]
+    if K % n_dp:
+        raise ValueError(f"K={K} not divisible by mesh '{axis}'={n_dp}")
+    from jax.sharding import PartitionSpec as P
+
+    inner = make_fused_train_rollout(
+        problem, z_apply_T, example_leaves, K // n_dp, N, delta_t, **kw)
+
+    tiles_max = max(1, (K // n_dp) // 128)
+
+    def shard_fn(leaves, seed_f):
+        idx = lax.axis_index(axis).astype(jnp.float32)
+        return inner(leaves, seed_f + idx * np.float32(tiles_max))
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=FusedTrainOut(P(None, axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+
+
 def reference_controlled_rollout(problem, u_apply, param_leaves, K, N,
                                  delta_t, key, with_f=True,
                                  host_noise=None):

@@ -130,7 +130,10 @@ class HJBSolver:
         # the path tile transposed K-in-lanes in VMEM and zero per-step
         # HBM traffic — rollout/kernels.py: make_fused_train_rollout;
         # same requirements as 'fused' plus the problem's transposed-
-        # coefficient protocol and a transposed-apply-capable control net)
+        # coefficient protocol and a transposed-apply-capable control net;
+        # unlike 'fused' it also runs under a dp mesh — the kernel is
+        # shard_mapped over the path axis with psum'd parameter
+        # gradients, kernels.py: make_fused_train_rollout_sharded)
         self.rollout_mode = rollout_mode
         # layout='dk' carries the scan path state transposed (d, K) so the
         # hot matmuls run K-in-lanes (rollout/sde.py: hjb_rollout_dk;
@@ -339,7 +342,9 @@ class HJBSolver:
             and self.time_approx == "inner"
             and not self.random_X_0
             and dtype == jnp.float32
-            and self.mesh is None
+            and (self.mesh is None
+                 or ("dp" in self.mesh.axis_names
+                     and K % self.mesh.shape["dp"] == 0))
             and getattr(problem, "supports_transposed", False)
             and (not self.u_l2_error_flag
                  or hasattr(problem, "u_ref_table"))
@@ -364,11 +369,20 @@ class HJBSolver:
             if self.u_l2_error_flag:
                 u_tab = problem.u_ref_table(
                     np.arange(self.N) * self.delta_t)
-            fused_train_run = make_fused_train_rollout(
-                problem, z_apply_T, leaves_ex, K, self.N, self.delta_t,
+            fused_kw = dict(
                 adaptive_forward=cfg.adaptive_forward,
                 accumulate_kl=cfg.accumulate_kl,
                 kl_ito_term=cfg.kl_ito_term, u_tab=u_tab)
+            if self.mesh is not None:
+                from ..rollout.kernels import (
+                    make_fused_train_rollout_sharded)
+                fused_train_run = make_fused_train_rollout_sharded(
+                    problem, z_apply_T, leaves_ex, K, self.N,
+                    self.delta_t, mesh=self.mesh, **fused_kw)
+            else:
+                fused_train_run = make_fused_train_rollout(
+                    problem, z_apply_T, leaves_ex, K, self.N,
+                    self.delta_t, **fused_kw)
 
         if use_fused:
             z_treedef = jax.tree.structure(self.params["z"])
