@@ -380,6 +380,13 @@ def make_fused_train_rollout(
     # dimension, so a (d, N) lane-indexed table does not lower)
     u_tab3 = (jnp.asarray(u_tab, jnp.float32).reshape(N, d, 1) if have_u
               else jnp.zeros((N, d, 1), jnp.float32))
+    # shape/dtype only: concrete example leaves may carry a NamedSharding
+    # (e.g. tp-sharded params), which make_jaxpr would bake into the traced
+    # avals and clash with the shard_map (Manual) mesh of the sharded
+    # wrapper's kernel tracers
+    example_leaves = tuple(
+        jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+        for x in example_leaves)
     n_leaves = len(example_leaves)
     use_host_noise = host_noise is not None
 
