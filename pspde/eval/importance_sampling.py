@@ -67,12 +67,18 @@ def make_is_runner(problem, model, K: int, delta_t: float = 0.01):
 
 
 def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,
-             simulate_naive: bool, u_true_fn=None):
+             simulate_naive: bool, u_true_fn=None, mesh=None):
     d = problem.d
     dt = jnp.float32(delta_t)
     sq_dt = jnp.sqrt(dt)
     sig = problem.sigma_struct
     X0 = jnp.broadcast_to(problem.X_0, (K, d)).astype(jnp.float32)
+    if mesh is not None:
+        # paths sharded over 'dp': GSPMD propagates the constraint through
+        # the scan and all-reduces the terminal statistics' means
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        X0 = jax.lax.with_sharding_constraint(
+            X0, NamedSharding(mesh, P("dp", None)))
 
     def has_f(x, t):
         f = getattr(problem, "f", None)
@@ -124,10 +130,13 @@ def _stats_from_logw(logw):
 def importance_sampling(problem, model, K: int, control: str = "approx",
                         simulate_naive: bool = False, delta_t: float = 0.01,
                         key: Optional[jax.Array] = None, verbose: bool = False,
-                        cross_statistics: Optional[float] = None):
+                        cross_statistics: Optional[float] = None,
+                        mesh=None):
     """Streaming IS diagnostics (do_importance_sampling_me,
     utilities.py:287-359).  Returns (mean_IS, var_IS, rel_IS) or the
-    6-tuple with naive statistics when ``simulate_naive``."""
+    6-tuple with naive statistics when ``simulate_naive``.  With ``mesh``,
+    the K paths are sharded over the mesh's 'dp' axis (statistics are
+    global — GSPMD inserts the cross-device reductions)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     N = int(np.ceil(problem.T / delta_t))
@@ -143,7 +152,8 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
     @jax.jit
     def run(key):
         X, X_u, ito, riem, f_int, f_int_u = _is_scan(
-            problem, u_fn, K, N, delta_t, key, simulate_naive, u_true_fn)
+            problem, u_fn, K, N, delta_t, key, simulate_naive, u_true_fn,
+            mesh=mesh)
         log_girsanov = -ito - 0.5 * riem
         logw_is = -f_int_u - problem.g(X_u) + log_girsanov
         out = _stats_from_logw(logw_is)
@@ -183,7 +193,8 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
 
 def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
                               seed: int = 0, tile: int = 512,
-                              interpret: bool = False, verbose: bool = False):
+                              interpret: bool = False, verbose: bool = False,
+                              mesh=None, host_noise=None):
     """Importance-sampling diagnostics on the fused Pallas rollout kernel:
     the whole N-step controlled simulation runs inside one TPU kernel with
     VMEM-resident state (rollout/kernels.py).  Returns
@@ -197,9 +208,17 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
       * the control-net weights must fit in VMEM alongside a path tile —
         the kernel estimates the footprint, auto-shrinks the tile, and
         raises with the estimate if the weights alone exceed the budget.
+
+    With ``mesh`` (a 'dp'-axis mesh, K divisible by its size), the kernel
+    is shard_mapped over the path axis — each device simulates K/n_dp
+    paths with a disjoint PRNG stream (seed spaced by the shard's maximum
+    tile count, mirroring kernels.py: make_fused_train_rollout_sharded) —
+    and the statistics are computed on the globally sharded log-weights.
+    ``host_noise`` (test mode) is the per-shard (N, K/n_dp, d) block,
+    identical on every shard.
     """
     assert model.time_approx == "inner", "fused IS requires 'inner' control"
-    from ..rollout.kernels import fused_controlled_rollout
+    from ..rollout.kernels import ISRolloutOut, fused_controlled_rollout
     N = int(np.ceil(problem.T / delta_t))
     leaves, treedef = jax.tree.flatten(model.params["z"])
     net = model.z_net
@@ -208,9 +227,31 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
         prm = jax.tree.unflatten(treedef, list(leaves_t))
         return -net.apply(prm, tX)
 
-    out = fused_controlled_rollout(problem, u_apply, tuple(leaves), K, N,
-                                   delta_t, seed=seed, tile=tile,
-                                   interpret=interpret)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dp = mesh.shape["dp"]
+        if K % n_dp:
+            raise ValueError(f"K={K} not divisible by mesh 'dp'={n_dp}")
+        K_local = K // n_dp
+        spacing = max(1, K_local // 8)  # >= the kernel's max tile count
+
+        def shard_fn():
+            idx = jax.lax.axis_index("dp")
+            return fused_controlled_rollout(
+                problem, u_apply, tuple(leaves), K_local, N, delta_t,
+                seed=seed + idx * spacing, tile=tile, interpret=interpret,
+                host_noise=host_noise)
+
+        out = jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(),
+            out_specs=ISRolloutOut(P("dp", None), P("dp"), P("dp"),
+                                   P("dp")),
+            check_vma=False)()
+    else:
+        out = fused_controlled_rollout(problem, u_apply, tuple(leaves), K,
+                                       N, delta_t, seed=seed, tile=tile,
+                                       interpret=interpret,
+                                       host_noise=host_noise)
     logw = (-out.f_int - problem.g(out.X) - out.ito - 0.5 * out.riemann)
     mean_IS, var_IS, rel_IS = jax.device_get(_stats_from_logw(logw))
     if verbose:

@@ -90,6 +90,41 @@ def test_sharded_rejects_bad_mesh(setup):
             p, z_apply_T, leaves_ex, 12, N, DT, mesh=mesh)
 
 
+def test_sharded_fused_is_matches_unsharded(setup):
+    """importance_sampling_fused(mesh=...): shard_mapped serve kernel.
+    With per-shard host noise identical on every shard, the K-path
+    sharded statistics equal the K/n_dp-path unsharded statistics up to
+    the Bessel n/(n-1) factor."""
+    from pspde.eval import importance_sampling_fused
+    p, s, *_ = setup
+    mesh = make_mesh(n_dp=8)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (20, 32, D),
+                              dtype=jnp.float32)
+    m1, v1, r1 = importance_sampling_fused(
+        p, s, K=32, delta_t=0.05, tile=8, interpret=True,
+        host_noise=noise)
+    m8, v8, r8 = importance_sampling_fused(
+        p, s, K=32 * 8, delta_t=0.05, tile=8, interpret=True, mesh=mesh,
+        host_noise=noise)
+    np.testing.assert_allclose(m8, m1, rtol=1e-5)
+    np.testing.assert_allclose(v8, v1, rtol=0.05)
+    np.testing.assert_allclose(r8, r1, rtol=0.05)
+
+
+def test_is_scan_mesh_matches_unsharded(setup):
+    """importance_sampling(mesh=...): dp sharding is placement only —
+    the same key gives bitwise-equal statistics."""
+    from pspde.eval import importance_sampling
+    p, s, *_ = setup
+    mesh = make_mesh(n_dp=8)
+    key = jax.random.PRNGKey(11)
+    a = importance_sampling(p, s, K=64, simulate_naive=True,
+                            delta_t=0.05, key=key)
+    b = importance_sampling(p, s, K=64, simulate_naive=True,
+                            delta_t=0.05, key=key, mesh=mesh)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 def test_solver_fused_train_with_mesh_falls_back_off_tpu():
     """rollout_mode='fused_train' + mesh on CPU: gated off (backend
     check) but the solver still trains via the sharded scan fallback."""
