@@ -185,7 +185,11 @@ def fused_controlled_rollout(
 
     X_ex = jax.ShapeDtypeStruct((tile, d), jnp.float32)
     t_ex = jax.ShapeDtypeStruct((), jnp.float32)
-    cj = jax.make_jaxpr(step_math)(X_ex, t_ex, X_ex, *param_leaves)
+    # shape/dtype only (cf. make_fused_train_rollout): concrete leaves may
+    # carry a NamedSharding that would clash with shard_map tracers
+    leaves_sds = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+                       for x in param_leaves)
+    cj = jax.make_jaxpr(step_math)(X_ex, t_ex, X_ex, *leaves_sds)
     consts = [jnp.asarray(c) for c in cj.consts]
     open_jaxpr = cj.jaxpr.replace(
         invars=list(cj.jaxpr.constvars) + list(cj.jaxpr.invars),
