@@ -255,15 +255,22 @@ class ConstantVector(nn.Module):
 
 class LinearLQ(nn.Module):
     """LQ-structured linear control u = Q^{-1} B^T F x with learnable F
-    (``Linear``, function_space.py:37-48)."""
+    (``Linear``, function_space.py:37-48).
+
+    ``init_scale`` scales the N(0,1) init of F (reference: 1.0).  At
+    large d a standard-normal F is a violent initial control (|u| ~ d
+    per unit |x|) that destabilizes the adaptive forward process and
+    makes u_L2[0] meaningless as a |u*| yardstick — init_scale=0.0
+    starts from the zero control instead."""
 
     B: jnp.ndarray
     Q: jnp.ndarray
+    init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         d = self.B.shape[0]
-        F = self.param("F", nn.initializers.normal(1.0), (d, d))
+        F = self.param("F", nn.initializers.normal(self.init_scale), (d, d))
         gain = jnp.linalg.inv(self.Q) @ self.B.T @ F
         return x @ gain.T
 

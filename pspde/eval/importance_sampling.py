@@ -66,8 +66,60 @@ def make_is_runner(problem, model, K: int, delta_t: float = 0.01):
     return run
 
 
+def _qmc_noise(K: int, N: int, d: int, seed: int, bridge: bool = True):
+    """(N, K, d) standard normals from a SCRAMBLED Sobol sequence.
+
+    Each path is one Sobol point of dimension N*d (Owen-scrambled, so
+    estimates stay unbiased and independent across seeds); uniforms map
+    to normals via the erfinv quantile.  Host-generated with torch's
+    SobolEngine (CPU) — QMC is a serve-path feature for moderate K,
+    bounded by the (N, K, d) host buffer.
+
+    With ``bridge`` (default) the path is assembled by BROWNIAN-BRIDGE
+    bisection — Sobol dimension 0 sets the endpoint W_N, subsequent
+    dimensions fill midpoints coarse-to-fine — so the best-distributed
+    Sobol coordinates carry the variance that matters for terminal-cost
+    payoffs.  Measured (LLGC d=2, N=64, lognormal payoff): bridge cuts
+    the across-scramble std another 6x below the natural increment
+    ordering (16x below PRNG MC).  The increments of the bridge path
+    are exact unit normals, so the estimator is unchanged in
+    distribution."""
+    import torch  # baked into the image; CPU only
+
+    eng = torch.quasirandom.SobolEngine(dimension=N * d, scramble=True,
+                                        seed=int(seed))
+    u = eng.draw(K, dtype=torch.float64)
+    eps = 1e-12
+    u = u.clamp(eps, 1.0 - eps)
+    z = (torch.erfinv(2.0 * u - 1.0) * float(np.sqrt(2.0))) \
+        .reshape(K, N, d).numpy()
+    if not bridge:
+        return jnp.asarray(z.transpose(1, 0, 2), dtype=jnp.float32)
+
+    from collections import deque
+    W = np.zeros((K, N + 1, d))
+    W[:, N] = np.sqrt(N) * z[:, 0]
+    q = deque([(0, N)])
+    k = 1
+    while q:  # BFS: coarse levels consume the lowest Sobol dimensions
+        a, b = q.popleft()
+        if b - a < 2:
+            continue
+        m = (a + b) // 2
+        s = np.sqrt((m - a) * (b - m) / (b - a))
+        W[:, m] = ((b - m) * W[:, a] + (m - a) * W[:, b]) / (b - a) \
+            + s * z[:, k]
+        k += 1
+        q.append((a, m))
+        q.append((m, b))
+    assert k == N, (k, N)
+    return jnp.asarray(np.diff(W, axis=1).transpose(1, 0, 2),
+                       dtype=jnp.float32)
+
+
 def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,
-             simulate_naive: bool, u_true_fn=None, mesh=None):
+             simulate_naive: bool, u_true_fn=None, mesh=None,
+             antithetic: bool = False, host_noise=None):
     d = problem.d
     dt = jnp.float32(delta_t)
     sq_dt = jnp.sqrt(dt)
@@ -89,10 +141,20 @@ def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,
         except TypeError:
             return f(x)
 
-    def step(carry, n):
+    def step(carry, inp):
+        n = inp[0] if host_noise is not None else inp
         X, X_u, ito, riem, f_int, f_int_u = carry
         t = n.astype(jnp.float32) * dt
-        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d))
+        if host_noise is not None:
+            xi = inp[1]
+        elif antithetic:
+            # mirrored pairs (xi, -xi): path i and i + K/2 share a noise
+            # stream up to sign, so pair-averaged estimators cancel the
+            # odd part of the payoff's noise expansion
+            xi_h = jax.random.normal(jax.random.fold_in(key, n), (K // 2, d))
+            xi = jnp.concatenate([xi_h, -xi_h], axis=0)
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d))
         if simulate_naive:
             X = X + problem.b(X) * dt + sig.apply(xi) * sq_dt
             f_int = f_int + has_f(X, t) * dt
@@ -109,13 +171,25 @@ def _is_scan(problem, u_fn, K: int, N: int, delta_t: float, key,
 
     zeros = jnp.zeros((K,), dtype=jnp.float32)
     carry0 = (X0, X0, zeros, zeros, zeros, zeros)
+    xs = (jnp.arange(N) if host_noise is None
+          else (jnp.arange(N), host_noise))
     (X, X_u, ito, riem, f_int, f_int_u), _ = jax.lax.scan(
-        step, carry0, jnp.arange(N))
+        step, carry0, xs)
     return X, X_u, ito, riem, f_int, f_int_u
 
 
-def _stats_from_logw(logw):
-    """Stable mean/variance/relative-error of exp(logw)."""
+def _stats_from_logw(logw, antithetic: bool = False):
+    """Stable mean/variance/relative-error of exp(logw).
+
+    With ``antithetic`` the weights come in mirrored pairs (i, i + K/2)
+    that are NOT independent: the iid unit of the estimator is the pair
+    average, so the statistics are computed over the K/2 pair means
+    (log-space: logaddexp(logw_i, logw_j) - log 2).  The reported
+    variance/RE is that of the pair-averaged estimator — directly
+    comparable to a plain run at the same total path count K."""
+    if antithetic:
+        half = logw.shape[0] // 2
+        logw = jnp.logaddexp(logw[:half], logw[half:]) - jnp.log(2.0)
     m = jnp.max(logw)
     w = jnp.exp(logw - m)
     mean_s = jnp.mean(w)
@@ -131,14 +205,39 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
                         simulate_naive: bool = False, delta_t: float = 0.01,
                         key: Optional[jax.Array] = None, verbose: bool = False,
                         cross_statistics: Optional[float] = None,
-                        mesh=None):
+                        mesh=None, antithetic: bool = False,
+                        qmc: bool = False):
     """Streaming IS diagnostics (do_importance_sampling_me,
     utilities.py:287-359).  Returns (mean_IS, var_IS, rel_IS) or the
     6-tuple with naive statistics when ``simulate_naive``.  With ``mesh``,
     the K paths are sharded over the mesh's 'dp' axis (statistics are
-    global — GSPMD inserts the cross-device reductions)."""
+    global — GSPMD inserts the cross-device reductions).
+
+    ``antithetic`` (no reference counterpart) simulates the K paths as
+    K/2 mirrored noise pairs (xi, -xi) and reports the statistics of the
+    pair-averaged estimator — a free variance reduction for smooth
+    payoffs on top of the control's.  K must be even; under ``mesh`` the
+    pair members land on different shards (GSPMD inserts the gather for
+    the pairing reduction — statistics stay global and correct).
+
+    ``qmc`` (no reference counterpart) drives the simulation with
+    SCRAMBLED-SOBOL quasi-random normals instead of PRNG draws (each
+    path = one Owen-scrambled Sobol point of dimension N*d, assembled by
+    Brownian-bridge bisection — pass ``qmc='natural'`` for the plain
+    increment ordering — host-generated; the scramble seed derives from
+    ``key``, so independent keys give independent unbiased replicates).
+    For smooth payoffs the mean converges ~O(K^-1) instead of O(K^-0.5).
+    Caveats: the reported variance/RE describe the integrand's spread
+    under ONE scramble (the MC error bar), not the (smaller) QMC error —
+    measure that across keys; host buffer is (N, K, d) floats, so this
+    is a moderate-K serve feature.  Mutually exclusive with
+    ``antithetic`` (the scramble already balances the point set)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if antithetic and K % 2:
+        raise ValueError("antithetic importance sampling needs even K")
+    if qmc and antithetic:
+        raise ValueError("qmc and antithetic are mutually exclusive")
     N = int(np.ceil(problem.T / delta_t))
     u_true_fn = None
     if control == "true":
@@ -149,25 +248,34 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
     else:
         u_fn = _control_closure(model, delta_t, N)
 
+    host_noise = None
+    if qmc:
+        # scramble seed from the key so replicates are independent;
+        # qmc='natural' opts out of the Brownian-bridge construction
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        host_noise = _qmc_noise(K, N, problem.d, seed,
+                                bridge=(qmc != "natural"))
+
     @jax.jit
-    def run(key):
+    def run(key, host_noise):
         X, X_u, ito, riem, f_int, f_int_u = _is_scan(
             problem, u_fn, K, N, delta_t, key, simulate_naive, u_true_fn,
-            mesh=mesh)
+            mesh=mesh, antithetic=antithetic, host_noise=host_noise)
         log_girsanov = -ito - 0.5 * riem
         logw_is = -f_int_u - problem.g(X_u) + log_girsanov
-        out = _stats_from_logw(logw_is)
+        out = _stats_from_logw(logw_is, antithetic=antithetic)
         extra = {}
         if simulate_naive:
             logw_naive = -f_int - problem.g(X)
-            extra["naive"] = _stats_from_logw(logw_naive)
+            extra["naive"] = _stats_from_logw(logw_naive,
+                                              antithetic=antithetic)
             if cross_statistics is not None:
                 extra["crossed_naive"] = jnp.sum(X > cross_statistics)
         if cross_statistics is not None:
             extra["crossed_is"] = jnp.sum(X_u > cross_statistics)
         return out, extra
 
-    (mean_IS, var_IS, rel_IS), extra = jax.device_get(run(key))
+    (mean_IS, var_IS, rel_IS), extra = jax.device_get(run(key, host_noise))
 
     if verbose:
         s = ""
@@ -194,7 +302,8 @@ def importance_sampling(problem, model, K: int, control: str = "approx",
 def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
                               seed: int = 0, tile: int = 512,
                               interpret: bool = False, verbose: bool = False,
-                              mesh=None, host_noise=None):
+                              mesh=None, host_noise=None,
+                              antithetic: bool = False):
     """Importance-sampling diagnostics on the fused Pallas rollout kernel:
     the whole N-step controlled simulation runs inside one TPU kernel with
     VMEM-resident state (rollout/kernels.py).  Returns
@@ -216,9 +325,18 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
     and the statistics are computed on the globally sharded log-weights.
     ``host_noise`` (test mode) is the per-shard (N, K/n_dp, d) block,
     identical on every shard.
+
+    ``antithetic`` simulates K/2 mirrored noise pairs (two kernel runs
+    with the SAME seeds and compile-time noise signs +1/-1, so the runs
+    are elementwise-aligned pairs even under ``mesh``) and reports the
+    statistics of the pair-averaged estimator at total path count K —
+    the fused counterpart of ``importance_sampling(antithetic=True)``.
     """
     assert model.time_approx == "inner", "fused IS requires 'inner' control"
     from ..rollout.kernels import ISRolloutOut, fused_controlled_rollout
+    if antithetic and K % 2:
+        raise ValueError("antithetic importance sampling needs even K")
+    K_run = K // 2 if antithetic else K
     N = int(np.ceil(problem.T / delta_t))
     leaves, treedef = jax.tree.flatten(model.params["z"])
     net = model.z_net
@@ -227,32 +345,42 @@ def importance_sampling_fused(problem, model, K: int, delta_t: float = 0.01,
         prm = jax.tree.unflatten(treedef, list(leaves_t))
         return -net.apply(prm, tX)
 
-    if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-        n_dp = mesh.shape["dp"]
-        if K % n_dp:
-            raise ValueError(f"K={K} not divisible by mesh 'dp'={n_dp}")
-        K_local = K // n_dp
-        spacing = max(1, K_local // 8)  # >= the kernel's max tile count
+    def run(sign):
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            n_dp = mesh.shape["dp"]
+            if K_run % n_dp:
+                raise ValueError(
+                    f"K={K_run} not divisible by mesh 'dp'={n_dp}")
+            K_local = K_run // n_dp
+            spacing = max(1, K_local // 8)  # >= the kernel's max tile count
 
-        def shard_fn():
-            idx = jax.lax.axis_index("dp")
-            return fused_controlled_rollout(
-                problem, u_apply, tuple(leaves), K_local, N, delta_t,
-                seed=seed + idx * spacing, tile=tile, interpret=interpret,
-                host_noise=host_noise)
+            def shard_fn():
+                idx = jax.lax.axis_index("dp")
+                return fused_controlled_rollout(
+                    problem, u_apply, tuple(leaves), K_local, N, delta_t,
+                    seed=seed + idx * spacing, tile=tile,
+                    interpret=interpret, host_noise=host_noise,
+                    noise_sign=sign)
 
-        out = jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(),
-            out_specs=ISRolloutOut(P("dp", None), P("dp"), P("dp"),
-                                   P("dp")),
-            check_vma=False)()
-    else:
-        out = fused_controlled_rollout(problem, u_apply, tuple(leaves), K,
-                                       N, delta_t, seed=seed, tile=tile,
-                                       interpret=interpret,
-                                       host_noise=host_noise)
-    logw = (-out.f_int - problem.g(out.X) - out.ito - 0.5 * out.riemann)
+            out = jax.shard_map(
+                shard_fn, mesh=mesh, in_specs=(),
+                out_specs=ISRolloutOut(P("dp", None), P("dp"), P("dp"),
+                                       P("dp")),
+                check_vma=False)()
+        else:
+            out = fused_controlled_rollout(problem, u_apply, tuple(leaves),
+                                           K_run, N, delta_t, seed=seed,
+                                           tile=tile, interpret=interpret,
+                                           host_noise=host_noise,
+                                           noise_sign=sign)
+        return (-out.f_int - problem.g(out.X) - out.ito
+                - 0.5 * out.riemann)
+
+    logw = run(1.0)
+    if antithetic:
+        # pair-averaged log-weights: the K/2 results ARE the iid units
+        logw = jnp.logaddexp(logw, run(-1.0)) - jnp.log(2.0)
     mean_IS, var_IS, rel_IS = jax.device_get(_stats_from_logw(logw))
     if verbose:
         print("IS mean: %.4e, IS variance: %.4e, IS RE %.4e"

@@ -89,6 +89,7 @@ def fused_controlled_rollout(
     host_noise: "jnp.ndarray | None" = None,  # (N, K, d): test/CPU mode
     vmem_budget_bytes: int = 96 * 2**20,      # ~3/4 of a v5e core's VMEM
     collect_path: bool = False,   # also return the (N, K, d) pre-step path
+    noise_sign: float = 1.0,      # compile-time xi multiplier (antithetic)
 ):
     """Simulate dX_u = (b(X_u) + sigma u) dt + sigma dW with
     u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals.
@@ -97,7 +98,12 @@ def fused_controlled_rollout(
     constant matrix/diagonal).  The kernel keeps the weights and one path
     tile resident in VMEM; the tile is auto-shrunk when the estimated
     footprint exceeds ``vmem_budget_bytes`` and a ValueError (with the
-    estimate) is raised when the weights alone cannot fit."""
+    estimate) is raised when the weights alone cannot fit.
+
+    ``noise_sign`` multiplies every noise draw (hardware-PRNG or
+    ``host_noise``) by a compile-time constant: two calls with the SAME
+    seed and signs +1/-1 simulate exactly mirrored (antithetic) noise
+    pairs, elementwise aligned across the path axis."""
     d = problem.d
     sig = problem.sigma_struct
     dt = np.float32(delta_t)
@@ -247,6 +253,8 @@ def fused_controlled_rollout(
                 xi = noise_ref[n]
             else:
                 xi = _normals_from_bits_erfinv((tile, d))
+            if noise_sign != 1.0:
+                xi = jnp.float32(noise_sign) * xi
             if collect_path:
                 # pre-step state: X_path[n] = X_n (the state the control
                 # was evaluated at)

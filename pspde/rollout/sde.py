@@ -26,6 +26,7 @@ of those see X_{n+1} with time t_n — reproduced exactly):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -55,6 +56,7 @@ class HJBRolloutConfig:
     value_mode: bool = False
     track_u_l2: bool = True
     remat: bool = False
+    antithetic: bool = False          # mirrored noise pairs (K even)
 
 
 def hjb_rollout(
@@ -116,8 +118,17 @@ def hjb_rollout(
 
         # noise in f32 (bf16 rounding would bias the accumulated
         # integrals); the state update casts back to the carry dtype
-        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
-                               dtype=f32)
+        if cfg.antithetic:
+            # mirrored pairs (xi, -xi): rows i and i + K/2 share one
+            # noise stream up to sign — the batch-mean gradient's odd
+            # noise components cancel pairwise (variance-reduced
+            # training; see eval/importance_sampling.py antithetic)
+            xi_h = jax.random.normal(jax.random.fold_in(key, n),
+                                     (K // 2, d), dtype=f32)
+            xi = jnp.concatenate([xi_h, -xi_h], axis=0)
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                                   dtype=f32)
 
         X_new = (X + (problem.b(X) + sig.apply(c)) * dt
                  + sig.apply(xi) * sq_dt).astype(x_dtype)
@@ -221,7 +232,16 @@ def hjb_rollout_dk(
                                   and cfg.repa_phase == 1):
             c = lax.stop_gradient(c)
 
-        if noise_layout == "kd":
+        if cfg.antithetic:
+            # mirrored pairs along the path axis (cf. hjb_rollout)
+            if noise_layout == "kd":
+                xi_h = jax.random.normal(jax.random.fold_in(key, n),
+                                         (K // 2, d), dtype=f32).T
+            else:
+                xi_h = jax.random.normal(jax.random.fold_in(key, n),
+                                         (d, K // 2), dtype=f32)
+            xi = jnp.concatenate([xi_h, -xi_h], axis=1)
+        elif noise_layout == "kd":
             xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
                                    dtype=f32).T
         else:
@@ -266,10 +286,10 @@ def hjb_rollout_dk(
     return HJBRolloutOut(XT.T, Y, Z_sum, u_l2, jnp.zeros_like(Y))
 
 
-def _remat_scan(step, carry0, N: int, remat: bool, threshold: int = 2048):
+def _remat_scan(step, carry0, N: int, remat: bool, threshold: int = 2048,
+                carry_budget_bytes: int = 8 << 30):
     """Run ``lax.scan(step, carry0, arange(N))`` — but for long
-    rematerialized horizons (remat and N > threshold), as a
-    sqrt-schedule scan-of-scans.
+    rematerialized horizons, as a sqrt-schedule scan-of-scans.
 
     Reverse-mode over a length-N scan stores the CARRY at every step
     (~N*K*d floats — 9 GB at the reference's N=200,000 BSDE config,
@@ -279,12 +299,25 @@ def _remat_scan(step, carry0, N: int, remat: bool, threshold: int = 2048):
     the ~sqrt(N) outer carries and recomputes each chunk on the backward
     pass: memory O(sqrt(N)*K*d), compute ~2x forward.  Steps beyond N
     (grid padding) are masked to no-ops, so outputs and gradients are
-    bitwise the plain scan's (tests/test_fused_training.py)."""
-    if not (remat and N > threshold):
+    bitwise the plain scan's (tests/test_fused_training.py).
+
+    The schedule engages when remat is on and EITHER the horizon is long
+    (N > threshold) or the stored-carry stack alone would exceed
+    ``carry_budget_bytes`` (f32 estimate; XLA's excess-precision pass
+    stores scan carries bf16-compressed at ~half that, so the 8 GB
+    default engages just past what a 16 GB v5e has been measured to
+    hold) — e.g. the d=1000, K=1e5, N=200 ensemble (BASELINE config 5)
+    stores an 80 GB f32 / 40 GB compressed X stack under the plain scan
+    and OOMs at compile, but 6 GB under the sqrt schedule (measured
+    round 3, 2.3 s/iter on the chip)."""
+    carry_bytes = sum(
+        math.prod(jnp.shape(x)) * jnp.result_type(x).itemsize
+        for x in jax.tree.leaves(carry0))
+    if not (remat and (N > threshold or N * carry_bytes
+                       > carry_budget_bytes)):
         out, _ = lax.scan(step, carry0, jnp.arange(N))
         return out
 
-    import math
     inner = int(math.isqrt(N - 1)) + 1
     outer = -(-N // inner)
 
@@ -345,8 +378,13 @@ def hjb_rollout_batched_grad(
         t = n.astype(jnp.float32) * dt
         Z, _ = control_fn(frozen, X, n, t)
         c = -Z if cfg.adaptive_forward else jnp.zeros_like(X)
-        xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
-                               dtype=X.dtype)
+        if cfg.antithetic:
+            xi_h = jax.random.normal(jax.random.fold_in(key, n),
+                                     (K // 2, d), dtype=X.dtype)
+            xi = jnp.concatenate([xi_h, -xi_h], axis=0)
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                                   dtype=X.dtype)
         X_new = X + (problem.b(X) + sig.apply(c)) * dt + sig.apply(xi) * sq_dt
         return X_new, (X, X_new, xi)
 

@@ -71,7 +71,7 @@ class HJBSolver:
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32,
                  rollout_mode="scan", steps_per_call=1,
-                 rng_impl="threefry", layout="kd"):
+                 rng_impl="threefry", layout="kd", antithetic=False):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -142,6 +142,26 @@ class HJBSolver:
         # to 'kd' otherwise).  Combine with rng_impl='rbg' for the full
         # measured speedup (neither alone moves the needle).
         self.layout = layout
+        # antithetic: simulate the K training paths as K/2 mirrored noise
+        # pairs (xi, -xi) (no reference counterpart; see
+        # eval/importance_sampling.py for the serve-path variant).
+        # Measured (LLGC d=10, K=2048, identical params): helps MEAN-type
+        # losses — relative_entropy loss-value std 180x smaller, total
+        # gradient variance -37% (the KL Ito term is odd in the noise and
+        # cancels exactly pairwise) — but HURTS variance-type losses
+        # (log-variance grad variance +40%: correlated pairs degrade a
+        # batch-variance estimator).  Use with relative_entropy /
+        # cross_entropy / moment; leave off for log-variance.
+        # Scan rollouts only: the fused Pallas kernel seeds its own
+        # in-kernel PRNG per tile and cannot mirror across tiles.
+        if antithetic:
+            if K % 2:
+                raise ValueError("antithetic training needs even K")
+            if rollout_mode in ("fused", "fused_train"):
+                raise ValueError(
+                    "antithetic training is not supported with the fused "
+                    "Pallas rollouts - use rollout_mode='scan'")
+        self.antithetic = antithetic
 
         # -- ansatz ---------------------------------------------------------
         # rng_impl: 'threefry' (default; cross-backend reproducible,
@@ -291,6 +311,7 @@ class HJBSolver:
             value_mode=(self.approx_method == "value_function"),
             track_u_l2=self.u_l2_error_flag,
             remat=self.remat,
+            antithetic=self.antithetic,
         )
 
     def _shard(self, x):

@@ -56,3 +56,48 @@ def test_is_cross_statistics():
                               cross_statistics=0.0, verbose=True,
                               key=jax.random.PRNGKey(3))
     assert len(out) == 6
+
+
+def test_antithetic_variance_reduction():
+    """antithetic=True: mirrored noise pairs cut the naive estimator's
+    RE for the smooth lognormal payoff exp(-alpha^T X_T) (the reported
+    statistics are of the pair-averaged estimator at the SAME total K,
+    so the comparison is like-for-like)."""
+    import pytest
+    p = LLGC(d=2, T=1.0)
+    s = HJBSolver("a", p, L=1, K=8, delta_t=0.05, time_approx="inner",
+                  verbose=False, early_stopping_time=None)
+    kw = dict(simulate_naive=True, key=jax.random.PRNGKey(5))
+    mn_p, _, rn_p, *_ = importance_sampling(p, s, K=20000, **kw)
+    mn_a, _, rn_a, *_ = importance_sampling(p, s, K=20000,
+                                            antithetic=True, **kw)
+    np.testing.assert_allclose(mn_a, mn_p, rtol=0.05)
+    assert rn_a < 0.85 * rn_p
+    with pytest.raises(ValueError):
+        importance_sampling(p, s, K=999, antithetic=True)
+
+
+def test_qmc_importance_sampling():
+    """qmc=True: scrambled-Sobol noise gives (1) a mean consistent with
+    plain MC, and (2) a much smaller across-replicate spread of the mean
+    estimate at the same K (smooth lognormal payoff; the QMC win is
+    measured across 6 independent scrambles vs 6 PRNG keys)."""
+    import pytest
+    p = LLGC(d=2, T=0.5)
+    s = HJBSolver("q", p, L=1, K=8, delta_t=0.05, time_approx="inner",
+                  verbose=False, early_stopping_time=None)
+    kw = dict(simulate_naive=True, delta_t=0.05)
+    means_mc, means_qmc = [], []
+    for i in range(6):
+        mn, *_ = importance_sampling(p, s, K=2048,
+                                     key=jax.random.PRNGKey(100 + i), **kw)
+        means_mc.append(mn)
+        mq, *_ = importance_sampling(p, s, K=2048, qmc=True,
+                                     key=jax.random.PRNGKey(200 + i), **kw)
+        means_qmc.append(mq)
+    mu = np.mean(means_mc)
+    np.testing.assert_allclose(np.mean(means_qmc), mu, rtol=0.02)
+    assert np.std(means_qmc) < 0.4 * np.std(means_mc), (
+        np.std(means_qmc), np.std(means_mc))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        importance_sampling(p, s, K=2048, qmc=True, antithetic=True)

@@ -138,3 +138,25 @@ def test_solver_fused_train_with_mesh_falls_back_off_tpu():
     s.train()
     assert len(s.loss_log) == 5
     assert np.isfinite(s.loss_log).all()
+
+
+def test_sharded_fused_is_antithetic_matches_unsharded(setup):
+    """antithetic=True under mesh: two shard_mapped runs with compile-time
+    noise signs +1/-1 stay elementwise pair-aligned, so with per-shard
+    host noise identical on every shard the K-path sharded statistics
+    equal the K/n_dp-path unsharded ones up to the Bessel factor."""
+    from pspde.eval import importance_sampling_fused
+    p, s, *_ = setup
+    mesh = make_mesh(n_dp=8)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (20, 16, D),
+                              dtype=jnp.float32)
+    m1, v1, r1 = importance_sampling_fused(
+        p, s, K=32, delta_t=0.05, tile=8, interpret=True,
+        host_noise=noise, antithetic=True)
+    m8, v8, r8 = importance_sampling_fused(
+        p, s, K=32 * 8, delta_t=0.05, tile=8, interpret=True, mesh=mesh,
+        host_noise=noise, antithetic=True)
+    np.testing.assert_allclose(m8, m1, rtol=1e-5)
+    # n=16 vs n=128 pair-units: Bessel n/(n-1) factors differ by ~5.8%
+    np.testing.assert_allclose(v8, v1, rtol=0.08)
+    np.testing.assert_allclose(r8, r1, rtol=0.08)

@@ -128,3 +128,52 @@ def test_vmem_guardrail_raises_on_oversized_weights(key):
         fused_controlled_rollout(p, u_apply, (W,), 64, 4, 0.05, seed=0,
                                  interpret=True,
                                  vmem_budget_bytes=8 * 2**20)
+
+
+def test_fused_noise_sign_mirrors_exactly(key):
+    """noise_sign=-1 with the same host noise == the scan reference run
+    on the NEGATED noise block (the antithetic pairing primitive)."""
+    p = LLGC(d=3, T=0.5)
+    u_apply, leaves = _linear_control(3, key)
+    K, N, dt = 256, 12, 0.04
+    noise = jax.random.normal(jax.random.fold_in(key, 7), (N, K, 3))
+    out = fused_controlled_rollout(p, u_apply, leaves, K, N, dt, seed=2,
+                                   tile=256, interpret=True,
+                                   host_noise=noise, noise_sign=-1.0)
+    ref = reference_controlled_rollout(p, u_apply, leaves, K, N, dt, key,
+                                       host_noise=-noise)
+    np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.ito), np.asarray(ref.ito),
+                               atol=2e-5)
+
+
+def test_fused_is_antithetic(key):
+    """importance_sampling_fused(antithetic=True): mean consistent with
+    the plain fused estimate; even-K guard raises."""
+    from pspde.solvers import HJBSolver
+    import importlib
+    isamp = importlib.import_module("pspde.eval.importance_sampling")
+    from pspde.rollout import kernels as kmod
+    p = LLGC(d=2, T=0.5)
+    s = HJBSolver("fa", p, L=1, K=32, delta_t=0.05, time_approx="inner",
+                  verbose=False, early_stopping_time=None)
+    orig = kmod.fused_controlled_rollout
+
+    def patched(problem, u_apply, leaves, K, N, dt, seed, **kw):
+        noise = jax.random.normal(jax.random.PRNGKey(seed), (N, K, problem.d))
+        kw.update(interpret=True, host_noise=noise)
+        return orig(problem, u_apply, leaves, K, N, dt, seed, **kw)
+
+    kmod.fused_controlled_rollout = patched
+    try:
+        m_a, v_a, r_a = isamp.importance_sampling_fused(
+            p, s, K=4096, delta_t=0.05, seed=0, tile=2048, antithetic=True)
+        m_p, v_p, r_p = isamp.importance_sampling_fused(
+            p, s, K=4096, delta_t=0.05, seed=0, tile=2048)
+    finally:
+        kmod.fused_controlled_rollout = orig
+    np.testing.assert_allclose(m_a, m_p, rtol=0.1)
+    assert np.isfinite(r_a) and r_a > 0
+    with pytest.raises(ValueError, match="even K"):
+        isamp.importance_sampling_fused(p, s, K=999, antithetic=True)
