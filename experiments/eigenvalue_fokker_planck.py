@@ -67,6 +67,12 @@ def main():
         print(f"after power refinement: lambda regression = {lam2:.4e} "
               f"+- {err2:.1e}, fresh MSE {mse:.3e} "
               f"(in-path-equivalent v L2 ~ {mse * 20e-3:.3e})")
+        # the remaining +~1e-3 is the sqrt(dt) boundary-stopping bias of
+        # the readout itself (the "dt floor"); Richardson in sqrt(dt)
+        # cancels it (measured at frozen v_true: bias tracks sqrt(dt))
+        lam3, err3 = s.estimate_lambda_richardson(K=8192, n_batches=16)
+        print(f"Richardson sqrt(dt)-extrapolated lambda = {lam3:.4e} "
+              f"+- {err3:.1e}")
     if args.finetune_L:
         # joint (V, lambda) Adam equilibria carry an O(lr) stationary bias
         # in this noisy loss; a low-lr fine-tune leg measures/removes it

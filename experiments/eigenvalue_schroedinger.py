@@ -54,6 +54,10 @@ def main():
     lam_hat, err = s.estimate_lambda(K=8192, n_batches=16)
     print(f"lambda regression at frozen V = {lam_hat:.4f} +- {err:.1e}, "
           f"rel err {abs(lam_hat - p.lambda_true) / abs(p.lambda_true):.2%}")
+    lam_r, err_r = s.estimate_lambda_richardson(K=8192, n_batches=16)
+    print(f"Richardson sqrt(dt)-extrapolated lambda = {lam_r:.4f} "
+          f"+- {err_r:.1e}, rel err "
+          f"{abs(lam_r - p.lambda_true) / abs(p.lambda_true):.2%}")
     if args.power_stages > 0:
         # SCF semigroup power iteration (eval/eigen_power.py mode='scf'):
         # freeze the Gross-Pitaevskii effective potential at the current

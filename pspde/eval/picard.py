@@ -79,7 +79,7 @@ def picard_refine(
     problem,
     net,                       # Flax module: (x, t) input as [x, t] concat
     params,                    # trained params for `net`
-    x0: jnp.ndarray,           # (d,) final evaluation point
+    x0: Optional[jnp.ndarray] = None,   # (d,) final evaluation point
     n_stages: int = 2,
     M: int = 4096,
     K_inner: int = 1024,
@@ -90,18 +90,30 @@ def picard_refine(
     key: Optional[jax.Array] = None,
     readout_K: int = 1_000_000,
     verbose: bool = False,
+    anchors: str = "tube",
 ):
     """Run `n_stages` Picard stages, then a high-K pointwise readout.
 
-    Anchors are drawn from the diffusion tube of x0: t ~ U(0, T), x ~
-    x0 + sqrt(tr(sigma sigma^T)/d * t) * z (z standard normal), matching
-    the measure the final readout integrates over.  Returns
+    With ``anchors='tube'`` (default) the anchors are drawn from the
+    diffusion tube of x0: t ~ U(0, T), x ~ x0 + sqrt(tr(sigma sigma^T)/d
+    * t) * z (z standard normal), matching the measure the final
+    pointwise readout integrates over.  Returns
     (refined_value, stderr, params_final).
-    """
+
+    With ``anchors='domain'`` the anchors are drawn from the solver's
+    own fresh-sample test measure — x ~ sample_domain(problem.geometry),
+    t ~ U(0, T) (eval/test_error.py modus='parabolic') — refining the
+    value FUNCTION over the whole test region instead of one point's
+    tube; ``x0`` may then be None, in which case the pointwise readout
+    is skipped and (None, None, params_final) is returned."""
     from .refine import feynman_kac_refine
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    if anchors not in ("tube", "domain"):
+        raise ValueError(f"anchors must be 'tube' or 'domain': {anchors!r}")
+    if anchors == "tube" and x0 is None:
+        raise ValueError("anchors='tube' needs an x0 to draw the tube from")
     d = problem.d
     T = problem.T
     sig_mat = np.asarray(problem.sigma_struct.mat)
@@ -137,20 +149,28 @@ def picard_refine(
     for stage in range(n_stages):
         key, ka, kt, kr, ku = jax.random.split(key, 5)
         ts = jax.random.uniform(kt, (M,), minval=0.0, maxval=T)
-        z = jax.random.normal(ka, (M, d))
-        r = anchor_radius
-        scale = (jnp.sqrt(ts)[:, None] * spread if r is None
-                 else r * jax.random.uniform(ku, (M, 1)))
-        Xs = x0[None, :] + scale * z
+        if anchors == "domain":
+            from ..rollout.sampling import sample_domain
+            Xs = sample_domain(ka, problem.geometry, M, d)
+        else:
+            z = jax.random.normal(ka, (M, d))
+            r = anchor_radius
+            scale = (jnp.sqrt(ts)[:, None] * spread if r is None
+                     else r * jax.random.uniform(ku, (M, 1)))
+            Xs = x0[None, :] + scale * z
         targets = _mc_targets(problem, v_of(p), ts, Xs, K_inner,
                               delta_t, kr)
         p, reg_loss = reg_fit(p, ts, Xs, targets)
-        if verbose:
+        if verbose and x0 is not None:
             out = feynman_kac_refine(problem, v_of(p), x0, K=readout_K,
                                      delta_t=delta_t, key=key)
             print(f"  picard stage {stage}: reg_loss {float(reg_loss):.3e}"
                   f", refined v = {float(out.value):.6f}")
+        elif verbose:
+            print(f"  picard stage {stage}: reg_loss {float(reg_loss):.3e}")
 
+    if x0 is None:
+        return None, None, p
     out = feynman_kac_refine(problem, v_of(p), x0, K=readout_K,
                              delta_t=delta_t, key=key)
     return out.value, out.stderr, p

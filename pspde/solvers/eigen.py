@@ -224,12 +224,20 @@ class EigenSolver:
         w = int(window) if window else max(1, len(self.lambda_log) // 10)
         return float(np.mean(self.lambda_log[-w:]))
 
-    def _rollout_pieces(self):
-        """(vg_fn, cfg, ins) for fresh-sample rollouts at the solver config."""
+    def _rollout_pieces(self, delta_t=None):
+        """(vg_fn, cfg, ins) for fresh-sample rollouts at the solver config.
+
+        ``delta_t`` overrides the step size (N is rescaled to keep the
+        horizon N * delta_t fixed) — used by the Richardson readout."""
         sig = self.problem.sigma_struct
         net = self.V_net
+        if delta_t is None:
+            N, dt = self.N, self.delta_t
+        else:
+            dt = float(delta_t)
+            N = max(1, int(round(self.N * self.delta_t / dt)))
         cfg = StoppedRolloutConfig(
-            N=self.N, delta_t=self.delta_t,
+            N=N, delta_t=dt,
             adaptive_forward=self.adaptive_forward_process,
             detach_forward=self.detach_forward, remat=self.remat)
 
@@ -241,9 +249,15 @@ class EigenSolver:
 
         return vg_fn, cfg, inside_fn(self.problem.geometry)
 
-    def estimate_lambda(self, K=4096, n_batches=16, key=None):
+    def estimate_lambda(self, K=4096, n_batches=16, key=None,
+                        delta_t=None):
         """Regression (Rayleigh-quotient-type) eigenvalue estimate at the
         FROZEN trained eigenfunction V.
+
+        ``delta_t`` overrides the rollout step size (horizon preserved) —
+        the readout carries a discretization bias dominated by the
+        O(sqrt(delta_t)) boundary-stopping overshoot, which
+        :meth:`estimate_lambda_richardson` cancels.
 
         The rollout's Y is affine in lambda at fixed V (the eigenvalue
         enters only through h_eff = h + lambda*V with V independent of
@@ -262,7 +276,7 @@ class EigenSolver:
         problem = self.problem
         geom = problem.geometry
         d = self.d
-        vg_fn, cfg, ins = self._rollout_pieces()
+        vg_fn, cfg, ins = self._rollout_pieces(delta_t=delta_t)
         v_net = self.V_net
 
         @jax.jit
@@ -296,6 +310,41 @@ class EigenSolver:
         lam_hat = -rs_tot / max(ss_tot, 1e-30)
         stderr = float(np.std(per_batch) / np.sqrt(max(len(per_batch), 1)))
         return lam_hat, stderr
+
+    def estimate_lambda_richardson(self, K=4096, n_batches=16, key=None,
+                                   refine=4.0, order=0.5):
+        """Richardson dt-extrapolated eigenvalue readout at frozen V.
+
+        :meth:`estimate_lambda`'s discretization bias is dominated by
+        the discrete boundary-stopping overshoot of the stopped rollout,
+        which is O(sqrt(dt)) (Broadie-Glasserman-Kou), NOT the Euler
+        weak order O(dt) — measured at frozen V = v_true on FP d=2 with
+        the horizon held fixed: lambda(dt) falls 2.28e-3 -> 0.31e-3 over
+        dt 1.6e-2 -> 1e-3, tracking sqrt(dt), i.e. the "dt floor" a
+        single-dt readout cannot cross.  Two readouts at dt and
+        dt/refine cancel the leading dt^order term (s = refine^order):
+
+            lambda_R = (s * lambda(dt/refine) - lambda(dt)) / (s - 1)
+
+        ``order=0.5`` (default) targets the stopping bias; use
+        ``order=1.0`` for geometries where no path ever stops early.
+        Returns ``(lambda_R, stderr)`` with the error bars of the two
+        (independent-noise) readouts propagated through the
+        extrapolation.  No reference counterpart — the notebooks read
+        the last training iterate only.  Ref:
+        Eigenvalue - Fokker-Planck.ipynb cell 4 readout semantics."""
+        if key is None:
+            key = jax.random.fold_in(self._train_key, 0x1b)
+        k1, k2 = jax.random.split(key)
+        s = float(refine) ** float(order)
+        lam_c, se_c = self.estimate_lambda(K=K, n_batches=n_batches,
+                                           key=k1)
+        lam_f, se_f = self.estimate_lambda(
+            K=K, n_batches=n_batches, key=k2,
+            delta_t=self.delta_t / float(refine))
+        lam_R = (s * lam_f - lam_c) / (s - 1.0)
+        se_R = float(np.hypot(s * se_f, se_c) / (s - 1.0))
+        return lam_R, se_R
 
     # -- persistence (orbax; mirrors solver.py:313-332) --------------------
     def save_networks(self, out_dir="output"):

@@ -165,3 +165,43 @@ def test_eigen_power_scf_schrodinger():
     ratio = t / p.v_ref(Xs)
     lam_hat = float(-jnp.log(jnp.mean(ratio)) / T)
     assert abs(lam_hat - p.lambda_true) < 0.15, lam_hat
+
+
+def test_picard_domain_anchors_refine_function_wide():
+    """anchors='domain': one stage fits the net to Feynman-Kac MC targets
+    drawn from the solver's own test measure (x ~ sample_domain,
+    t ~ U(0, T)) — for the h = 0 heat equation the targets are exact up
+    to MC noise, so a random-init net lands near the true value FUNCTION
+    over the whole region (not just one point's tube)."""
+    from pspde.eval.test_error import compute_test_error
+    from pspde.problems import HeatEquation
+    from pspde.problems.base import Geometry
+
+    p = HeatEquation(d=5, T=0.2)
+    p.geometry = Geometry(kind="unbounded", boundary_distance=2.0)
+    key = jax.random.PRNGKey(3)
+    net = DenseNet(d_out=1, arch=(25, 10, 10))
+    params = net.init(key, jnp.zeros((1, 6)))  # random init, NOT trained
+
+    def v_fn_of(q):
+        return lambda XT: net.apply(q, XT)[:, 0]
+
+    _, _, mre0 = compute_test_error(v_fn_of(params), p, 8192,
+                                    jax.random.PRNGKey(9),
+                                    modus="parabolic")
+    val, stderr, refined = picard_refine(
+        p, net, params, x0=None, anchors="domain", n_stages=1, M=1024,
+        K_inner=256, delta_t=4e-3, reg_steps=3000, key=key)
+    assert val is None and stderr is None
+    _, _, mre1 = compute_test_error(v_fn_of(refined), p, 8192,
+                                    jax.random.PRNGKey(9),
+                                    modus="parabolic")
+    assert float(mre1) < 0.05, (float(mre0), float(mre1))
+    assert float(mre1) < 0.2 * float(mre0)
+
+    # guards
+    import pytest
+    with pytest.raises(ValueError, match="x0"):
+        picard_refine(p, net, params, x0=None, anchors="tube")
+    with pytest.raises(ValueError, match="anchors"):
+        picard_refine(p, net, params, x0=None, anchors="sphere")
