@@ -176,7 +176,8 @@ def main():
         jnp.float32
     for tag, kw in [("spc50", dict(steps_per_call=50)),
                     ("spc100", dict(steps_per_call=100)),
-                    ("K262144", dict(K=262144))]:
+                    ("spc200", dict(steps_per_call=200)),
+                    ("K262144", dict(K=262144, steps_per_call=100))]:
         attempt(f"{best_name}_{tag}", lambda kw=kw: measure(
             sweep_dtype, **sweep_kw, **kw))
     best_name = max(results, key=lambda k:

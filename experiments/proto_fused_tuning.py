@@ -35,7 +35,7 @@ K_PATHS = 131072
 N = 32
 
 
-def measure(steps_per_call, tile, n_chunks=3):
+def measure(steps_per_call, tile, n_chunks=3, unroll=1, K=K_PATHS):
     from pspde.problems import LLGC
     from pspde.solvers import HJBSolver
     from pspde.solvers._chunk import make_chunked_step
@@ -44,13 +44,14 @@ def measure(steps_per_call, tile, n_chunks=3):
 
     def patched(*a, **kw):
         kw.setdefault("tile", tile)
+        kw.setdefault("unroll", unroll)
         return orig(*a, **kw)
 
     kmod.make_fused_train_rollout = patched
     try:
         problem = LLGC(d=100, T=1.0)
         solver = HJBSolver(
-            "proto-fused", problem, lr=1e-3, L=1, K=K_PATHS,
+            "proto-fused", problem, lr=1e-3, L=1, K=K,
             delta_t=1.0 / N, time_approx="inner",
             loss_method="log-variance", detach_forward=True,
             learn_Y_0=True, verbose=False, early_stopping_time=None,
@@ -67,7 +68,7 @@ def measure(steps_per_call, tile, n_chunks=3):
             params, opt_state, key, aux = chunk(params, opt_state, key)
         jax.block_until_ready(aux["loss"])
         dt_iter = (time.perf_counter() - t0) / (n_chunks * steps_per_call)
-        return {"path_steps_per_sec": K_PATHS * N / dt_iter,
+        return {"path_steps_per_sec": K * N / dt_iter,
                 "iter_ms": dt_iter * 1e3, "compile_s": compile_s}
     finally:
         kmod.make_fused_train_rollout = orig
@@ -75,17 +76,30 @@ def measure(steps_per_call, tile, n_chunks=3):
 
 def main():
     variants = [
-        ("spc100_tile4096", 100, 4096),   # BENCH_r03 winner (re-measure)
-        ("spc200_tile4096", 200, 4096),
-        ("spc100_tile6144", 100, 6144),
-        ("spc100_tile5120", 100, 5120),
+        # time-loop unrolling: lets Mosaic overlap step n+1's PRNG/VPU
+        # work with step n's narrow matmuls (pipeline-fill hypothesis);
+        # measured earlier this round: spc100/200_tile4096 222.0/222.7M,
+        # tile5120 214.0M, tile6144 compile-OOM, K262144 222.8M;
+        # unroll round 1: tile4096_u2 229.4M, tile2048_u4 224.8M,
+        # tile4096_u4 + tile4096_u8 compile-OOM
+        ("spc200_tile4096_u2", dict(steps_per_call=200, tile=4096,
+                                    unroll=2)),
+        ("spc100_tile2048_u2", dict(steps_per_call=100, tile=2048,
+                                    unroll=2)),
+        ("spc100_tile2048_u8", dict(steps_per_call=100, tile=2048,
+                                    unroll=8)),
+        ("spc100_tile1024_u8", dict(steps_per_call=100, tile=1024,
+                                    unroll=8)),
+        ("spc100_tile4096_u2_K262144", dict(steps_per_call=100, tile=4096,
+                                            unroll=2, K=262144)),
     ]
     if "--smoke" in sys.argv:
-        variants = [("spc2_tile256", 2, 256)]
+        variants = [("spc2_tile256", dict(steps_per_call=2, tile=256,
+                                          unroll=2, K=1024))]
     out = {}
-    for name, spc, tile in variants:
+    for name, kw in variants:
         try:
-            r = measure(spc, tile)
+            r = measure(**kw)
             out[name] = {k: round(v, 1) for k, v in r.items()}
         except Exception as e:
             out[name] = {"error": repr(e)[:200]}

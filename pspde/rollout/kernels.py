@@ -340,6 +340,14 @@ def make_fused_train_rollout(
     interpret: bool = False,
     host_noise=None,          # (N, d, K) f32: test/CPU mode
     rng: str = "erfinv",      # in-kernel bits->normal map (or 'boxmuller')
+    unroll: "int | None" = None,  # time-loop unroll factor (must divide
+                              # N; manual unroll — Mosaic's fori_loop only
+                              # supports unroll=1 or full).  None = auto:
+                              # 2 when N is even (measured r3: u2 overlaps
+                              # step n+1's PRNG/VPU work with step n's
+                              # narrow matmuls, 222 -> 230M path-steps/s;
+                              # u4+/tile 4096 exceeds the compiler's VMEM
+                              # budget and deeper unrolls plateau at 230M)
 ):
     """Fully-fused TRAINING rollout with a custom VJP: forward AND
     backward each run as ONE Pallas kernel per call, with zero
@@ -422,6 +430,10 @@ def make_fused_train_rollout(
             % (vmem_estimate(tile) / 2**20))
     n_tiles = pl.cdiv(K, tile)
     Kp = n_tiles * tile
+    if unroll is None:
+        unroll = 2 if N % 2 == 0 else 1
+    if unroll < 1 or N % unroll:
+        raise ValueError(f"unroll={unroll} must divide N={N}")
 
     # ---- step math (traced, then closure-converted into the kernels) ----
     def step_math(XT, t, u_col, xi, *params):
@@ -529,18 +541,23 @@ def make_fused_train_rollout(
             X0 = jnp.broadcast_to(x0_ref[:], (d, tile))
             z = jnp.zeros((1, tile), jnp.float32)
 
-            def body(n, carry):
+            def body(n0, carry):
                 X, aY, aK, aU = carry
-                t = n.astype(jnp.float32) * dt
-                xi = (noise_ref[n] if use_host_noise
-                      else _normals((d, tile)))
-                u_col = u_ref[n]
-                pvals = extra[:n_leaves]
-                cvals = extra[n_leaves:]
-                X, a, kl, ul2 = fwd_open(*cvals, X, t, u_col, xi, *pvals)
-                return X, aY + a, aK + kl, aU + ul2
+                for j in range(unroll):   # manual unroll (static offsets)
+                    n = n0 * unroll + j
+                    t = n.astype(jnp.float32) * dt
+                    xi = (noise_ref[n] if use_host_noise
+                          else _normals((d, tile)))
+                    u_col = u_ref[n]
+                    pvals = extra[:n_leaves]
+                    cvals = extra[n_leaves:]
+                    X, a, kl, ul2 = fwd_open(*cvals, X, t, u_col, xi,
+                                             *pvals)
+                    aY, aK, aU = aY + a, aK + kl, aU + ul2
+                return X, aY, aK, aU
 
-            X, aY, aK, aU = lax.fori_loop(0, N, body, (X0, z, z, z))
+            X, aY, aK, aU = lax.fori_loop(0, N // unroll, body,
+                                          (X0, z, z, z))
             xt_out[:] = X
             acc_out[0:1, :] = aY
             acc_out[1:2, :] = aK
@@ -604,23 +621,26 @@ def make_fused_train_rollout(
             gk = gk_ref[pl.ds(pl.program_id(0), 1), :]
             g0 = tuple(jnp.zeros(s, jnp.float32) for s in leaf_shapes)
 
-            def body(n, carry):
+            def body(n0, carry):
                 X = carry[0]
                 gacc = carry[1:]
-                t = n.astype(jnp.float32) * dt
-                xi = (noise_ref[n] if use_host_noise
-                      else _normals((d, tile)))
-                u_col = u_ref[n]
-                pvals = extra[:n_leaves]
-                cvals = extra[n_leaves:]
-                outs = bwd_open(*cvals, X, t, u_col, xi, gy, gk, *pvals)
-                X_new = outs[0]
-                g_new = tuple(
-                    ga + gn.reshape(s)
-                    for ga, gn, s in zip(gacc, outs[1:], leaf_shapes))
-                return (X_new,) + g_new
+                for j in range(unroll):   # manual unroll (static offsets)
+                    n = n0 * unroll + j
+                    t = n.astype(jnp.float32) * dt
+                    xi = (noise_ref[n] if use_host_noise
+                          else _normals((d, tile)))
+                    u_col = u_ref[n]
+                    pvals = extra[:n_leaves]
+                    cvals = extra[n_leaves:]
+                    outs = bwd_open(*cvals, X, t, u_col, xi, gy, gk,
+                                    *pvals)
+                    X = outs[0]
+                    gacc = tuple(
+                        ga + gn.reshape(s)
+                        for ga, gn, s in zip(gacc, outs[1:], leaf_shapes))
+                return (X,) + gacc
 
-            out = lax.fori_loop(0, N, body, (X0,) + g0)
+            out = lax.fori_loop(0, N // unroll, body, (X0,) + g0)
             for j, gref in enumerate(grad_refs):
                 gref[:] = out[1 + j][None]
 

@@ -245,6 +245,44 @@ def test_fused_train_kernel_kl_accumulator(setup):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6)
 
 
+def test_fused_train_kernel_unroll_bitwise(setup):
+    """The manually-unrolled time loop (unroll=2/4, the r3 perf default)
+    is bitwise identical to unroll=1: outputs, loss and parameter
+    gradients, on the identical injected noise stream."""
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    from pspde.ansatz.transposed import make_transposed_apply
+    from pspde.rollout.kernels import make_fused_train_rollout
+
+    leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
+    noise_T = jnp.transpose(noise, (0, 2, 1))
+    leaves = tuple(jax.tree.leaves(s.params["z"]))
+    kw = dict(adaptive_forward=True, u_tab=p.u_ref_table(np.arange(N) * DT),
+              tile=32, interpret=True, host_noise=noise_T)
+
+    def run_with(unroll):
+        run = make_fused_train_rollout(
+            p, z_apply_T, leaves_ex, K, N, DT, unroll=unroll, **kw)
+
+        def loss(lv):
+            o = run(lv, jnp.float32(0))
+            return log_variance_loss(o.Y, p.g(o.XT.T)), o
+
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(leaves)
+        return l, o, g
+
+    l1, o1, g1 = run_with(1)
+    for u in (2, 4):
+        l, o, g = run_with(u)
+        assert np.array_equal(np.asarray(l), np.asarray(l1))
+        assert np.array_equal(np.asarray(o.Y), np.asarray(o1.Y))
+        assert np.array_equal(np.asarray(o.XT), np.asarray(o1.XT))
+        for a, b in zip(g, g1):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="unroll"):
+        make_fused_train_rollout(
+            p, z_apply_T, leaves_ex, K, N, DT, unroll=5, **kw)
+
+
 def test_solver_fused_train_mode_falls_back_off_tpu():
     """rollout_mode='fused_train' silently falls back off-TPU and trains."""
     p = LLGC(d=4, T=0.5)
