@@ -90,6 +90,8 @@ def fused_controlled_rollout(
     vmem_budget_bytes: int = 96 * 2**20,      # ~3/4 of a v5e core's VMEM
     collect_path: bool = False,   # also return the (N, K, d) pre-step path
     noise_sign: float = 1.0,      # compile-time xi multiplier (antithetic)
+    unroll: "int | None" = None,  # time-loop unroll (None = 2 if N even;
+                                  # see make_fused_train_rollout)
 ):
     """Simulate dX_u = (b(X_u) + sigma u) dt + sigma dW with
     u = u_apply(params, [t, X_u]) and accumulate the Girsanov integrals.
@@ -158,6 +160,10 @@ def fused_controlled_rollout(
             "scan path (eval.importance_sampling).")
 
     n_tiles = pl.cdiv(K, tile)
+    if unroll is None:
+        unroll = 2 if N % 2 == 0 else 1
+    if unroll < 1 or N % unroll:
+        raise ValueError(f"unroll={unroll} must divide N={N}")
 
     def f_eval(x, t):
         if not with_f:
@@ -246,27 +252,30 @@ def fused_controlled_rollout(
             in_refs[-1][:].reshape(in_shapes[-1]), (tile, d))
         acc0 = jnp.zeros((tile, 3), dtype=jnp.float32)
 
-        def body(n, carry):
+        def body(n0, carry):
             X, acc = carry
-            t = n.astype(jnp.float32) * dt
-            if use_host_noise:
-                xi = noise_ref[n]
-            else:
-                xi = _normals_from_bits_erfinv((tile, d))
-            if noise_sign != 1.0:
-                xi = jnp.float32(noise_sign) * xi
-            if collect_path:
-                # pre-step state: X_path[n] = X_n (the state the control
-                # was evaluated at)
-                path_ref[pl.ds(n, 1)] = X[None]
-            X_new, u, fv = step_closed(X, t, xi, *extra)
-            d_acc = jnp.stack(
-                [jnp.sum(u * xi, axis=-1) * sq_dt,
-                 jnp.sum(u * u, axis=-1) * dt,
-                 fv * dt], axis=-1)
-            return X_new, acc + d_acc
+            for j in range(unroll):   # manual unroll (static offsets)
+                n = n0 * unroll + j
+                t = n.astype(jnp.float32) * dt
+                if use_host_noise:
+                    xi = noise_ref[n]
+                else:
+                    xi = _normals_from_bits_erfinv((tile, d))
+                if noise_sign != 1.0:
+                    xi = jnp.float32(noise_sign) * xi
+                if collect_path:
+                    # pre-step state: X_path[n] = X_n (the state the
+                    # control was evaluated at)
+                    path_ref[pl.ds(n, 1)] = X[None]
+                X, u, fv = step_closed(X, t, xi, *extra)
+                d_acc = jnp.stack(
+                    [jnp.sum(u * xi, axis=-1) * sq_dt,
+                     jnp.sum(u * u, axis=-1) * dt,
+                     fv * dt], axis=-1)
+                acc = acc + d_acc
+            return X, acc
 
-        X, acc = lax.fori_loop(0, N, body, (X0, acc0))
+        X, acc = lax.fori_loop(0, N // unroll, body, (X0, acc0))
         out_ref[:, :d] = X
         out_ref[:, d:d + 3] = acc
         if out_w > d + 3:
