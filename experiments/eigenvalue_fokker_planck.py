@@ -23,7 +23,8 @@ def main():
                              "--power-stages": dict(type=int, default=3),
                              "--finetune-L": dict(type=int, default=0),
                              "--finetune-lr": dict(type=float,
-                                                   default=1e-4)})
+                                                   default=1e-4),
+                             "--gap": dict(action="store_true")})
     p = FokkerPlanckEigen(d=5)
     net = DenseNet(d_out=1, arch=(10, 10, 10, 10))
     s = EigenSolver(p, "fp-eigen", seed=args.seed, delta_t=1e-3, N=20,
@@ -73,6 +74,71 @@ def main():
         lam3, err3 = s.estimate_lambda_richardson(K=8192, n_batches=16)
         print(f"Richardson sqrt(dt)-extrapolated lambda = {lam3:.4e} "
               f"+- {err3:.1e}")
+    if args.gap:
+        # spectral gap lambda_1 - lambda_0 via block subspace iteration
+        # (eval/eigen_power.py: eigen_subspace_refine) — beyond the
+        # notebook, which reads only the dominant eigenvalue.  The first
+        # excited cluster of the near-Laplacian torus operator is the
+        # 2d-fold {sin x_j, cos x_j} shell at lambda ~ 1; two extra nets
+        # seeded on the first harmonic pick up the cluster's Ritz value.
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from jax import lax
+
+        from pspde.eval import eigen_subspace_refine
+
+        Xa = 2 * np.pi * jax.random.uniform(
+            jax.random.PRNGKey(args.seed + 7), (4096, p.d))
+
+        @jax.jit
+        def fit(params, targets):
+            tx = optax.adam(3e-3)
+            state = tx.init(params)
+
+            def body(c, _):
+                params, state = c
+                g = jax.grad(lambda q: jnp.mean(
+                    (s.V_net.apply(q, Xa)[:, 0] - targets) ** 2))(params)
+                up, state = tx.update(g, state, params)
+                return (optax.apply_updates(params, up), state), None
+
+            (params, _), _ = lax.scan(body, (params, state), None,
+                                      length=3000)
+            return params
+
+        extra = [fit(s.V_net.init(jax.random.PRNGKey(args.seed + j),
+                                  Xa[:2]), t)
+                 for j, t in enumerate([jnp.sin(Xa[:, 0]),
+                                        jnp.cos(Xa[:, 0])])]
+        stages = 1 if args.smoke else 4
+        _, hist = eigen_subspace_refine(
+            p, s.V_net, [s.params["V"]] + extra, n_stages=stages,
+            T_horizon=0.5, M=1024 if args.smoke else 4096,
+            K_inner=16 if args.smoke else 64, delta_t=5e-3,
+            reg_steps=200 if args.smoke else 3000, reg_lr=3e-3,
+            key=jax.random.PRNGKey(args.seed + 11), verbose=True)
+        lams = hist[-1]["lambdas"]
+        print(f"subspace eigenvalues: "
+              + ", ".join(f"{l:+.4f}" for l in lams)
+              + f"; spectral gap = {lams[1] - lams[0]:.4f}")
+        if p.d == 1:
+            from pspde.problems.fd_oracles import (
+                generator_spectrum_periodic_1d)
+
+            def b1(x):
+                xj = jnp.asarray(x, jnp.float32)[:, None]
+                return np.asarray(p.b(xj))[:, 0]
+
+            def W1(x):
+                xj = jnp.asarray(x, jnp.float32)[:, None]
+                return np.asarray(p.h(xj, jnp.ones(len(x), jnp.float32),
+                                      None))
+
+            _, lam_fd, _ = generator_spectrum_periodic_1d(b1, W1, n=512)
+            print(f"FD oracle: lambda_0 {lam_fd[0]:+.4f}, "
+                  f"lambda_1 {lam_fd[1]:+.4f}, "
+                  f"gap {lam_fd[1] - lam_fd[0]:.4f}")
     if args.finetune_L:
         # joint (V, lambda) Adam equilibria carry an O(lr) stationary bias
         # in this noisy loss; a low-lr fine-tune leg measures/removes it

@@ -16,4 +16,5 @@ from .picard import (picard_refine,  # noqa: F401,E402
                      picard_refine_elliptic)
 from .refine import feynman_kac_refine_elliptic  # noqa: F401,E402
 from .eigen_power import (eigen_power_refine,  # noqa: F401,E402
+                          eigen_subspace_refine,
                           fk_semigroup_targets)

@@ -187,3 +187,116 @@ def eigen_power_refine(
             print(f"  power stage {stage}: lambda_growth "
                   f"{lam_growth:+.2e}, reg_loss {rec['reg_loss']:.3e}")
     return p, history
+
+
+def eigen_subspace_refine(
+    problem,
+    net,
+    params_list,               # one params pytree per eigenfunction
+    n_stages: int = 3,
+    T_horizon: float = 0.5,
+    M: int = 4096,
+    K_inner: int = 64,
+    delta_t: float = 2e-3,
+    reg_steps: int = 2000,
+    reg_lr: float = 1e-3,
+    key: Optional[jax.Array] = None,
+    verbose: bool = False,
+):
+    """Block (subspace) Feynman-Kac power iteration: top-n eigenpairs.
+
+    Extends :func:`eigen_power_refine` from the dominant eigenpair to the
+    leading ``n = len(params_list)`` eigenpairs of A = L + W — in
+    particular the SPECTRAL GAP lambda_1 - lambda_0, the quantity that
+    controls metastable relaxation rates.  Each stage applies the
+    semigroup e^{T A} to every basis function by Feynman-Kac Monte Carlo,
+    then performs a Rayleigh-Ritz extraction on the subspace: with
+    S_ij = <v_i, v_j> and H_ij = <v_i, e^{TA} v_j> estimated over M
+    uniform anchors (the box-uniform L2 inner product), the Ritz problem
+    S^{-1} H c = theta c yields theta_k ~ e^{-lambda_k T} and rotated
+    images U = [e^{TA}v_j] C that the nets are refit to.  Rayleigh-Ritz
+    on a (near-)invariant subspace is exact regardless of self-adjointness,
+    so no adjoint eigenfunction is needed for the deflation.
+
+    Requirements: h linear in y (the potential is W(x) = h(x, 1, .)) and a
+    periodic 'square' geometry (fk_semigroup_targets wraps paths).
+    Near-degenerate eigenvalues (e.g. the sin/cos pair on the torus) are
+    handled naturally — the Ritz VALUES converge at rate
+    e^{-(lambda_n - lambda_{k}) T} even when individual eigenVECTORS inside
+    a degenerate cluster cannot be separated.
+
+    Validated against the dense FD oracle
+    :func:`pspde.problems.fd_oracles.generator_spectrum_periodic_1d`
+    (tests/test_eigen_solver.py).  No reference counterpart: the
+    notebooks' eigensolvers read only the dominant eigenvalue from the
+    trained SingleParam (Eigenvalue - Fokker-Planck.ipynb cell 4).
+
+    Returns ``(params_list_final, history)``; each history row carries
+    ``lambdas`` (Ritz readouts, ascending) and per-net ``reg_loss``.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pairs = len(params_list)
+    d = problem.d
+    geom = problem.geometry
+    lo, hi = geom.X_l, geom.X_r
+
+    def v_of(p):
+        return lambda X: net.apply(p, X)[:, 0]
+
+    targets_jit = jax.jit(lambda p, Xs, k: fk_semigroup_targets(
+        problem, v_of(p), Xs, K_inner, T_horizon, delta_t, k))
+
+    @jax.jit
+    def reg_fit(p, Xs, targets):
+        def loss(p):
+            pred = net.apply(p, Xs)[:, 0]
+            return jnp.mean((pred - targets) ** 2)
+
+        tx_opt = optax.adam(reg_lr)
+        state = tx_opt.init(p)
+
+        def body(carry, _):
+            p, state = carry
+            l, g = jax.value_and_grad(loss)(p)
+            up, state = tx_opt.update(g, state, p)
+            return (optax.apply_updates(p, up), state), l
+
+        (p, _), ls = lax.scan(body, (p, state), None, length=reg_steps)
+        return p, ls[-1]
+
+    ps = list(params_list)
+    history = []
+    for stage in range(n_stages):
+        key, ka, *kts = jax.random.split(key, 2 + n_pairs)
+        Xs = lo + (hi - lo) * jax.random.uniform(ka, (M, d))
+        Vm = jnp.stack([v_of(p)(Xs) for p in ps], axis=1)          # (M, n)
+        Tm = jnp.stack([targets_jit(p, Xs, kt)
+                        for p, kt in zip(ps, kts)], axis=1)        # (M, n)
+        S = np.asarray(Vm.T @ Vm, dtype=np.float64) / M
+        H = np.asarray(Vm.T @ Tm, dtype=np.float64) / M
+        theta, C = np.linalg.eig(np.linalg.solve(S, H))
+        order = np.argsort(-theta.real)
+        theta = theta.real[order]
+        C = C[:, order].real
+        lams = (-np.log(np.maximum(theta, 1e-12)) / T_horizon).tolist()
+        # rotate the semigroup images onto the Ritz directions (this IS
+        # the power step), normalize to unit anchor-RMS, keep signs
+        # aligned with the current nets so the refit is a small move
+        U = Tm @ jnp.asarray(C, Tm.dtype)
+        U = U / jnp.sqrt(jnp.mean(U ** 2, axis=0, keepdims=True))
+        sgn = jnp.sign(jnp.sum(U * Vm, axis=0))
+        U = U * jnp.where(sgn == 0, 1.0, sgn)
+        reg_losses = []
+        new_ps = []
+        for j in range(n_pairs):
+            pj, rl = reg_fit(ps[j], Xs, U[:, j])
+            new_ps.append(pj)
+            reg_losses.append(float(rl))
+        ps = new_ps
+        history.append({"lambdas": lams, "reg_loss": reg_losses})
+        if verbose:
+            print(f"  subspace stage {stage}: lambdas "
+                  + ", ".join(f"{l:+.4f}" for l in lams)
+                  + f", reg_loss {max(reg_losses):.3e}")
+    return ps, history

@@ -158,3 +158,44 @@ def elliptic_generator_reference(
     with np.errstate(divide="ignore", invalid="ignore"):
         u = sigma * (np.log(psi[1:]) - np.log(psi[:-1])) / dx
     return x_val, psi, u
+
+
+def generator_spectrum_periodic_1d(
+    b: Callable[[np.ndarray], np.ndarray],
+    W: Callable[[np.ndarray], np.ndarray],
+    n: int = 512,
+    X_l: float = 0.0,
+    X_r: float = 2.0 * np.pi,
+    half_sigma2: float = 1.0,
+    k: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-``k`` spectrum of A f = half_sigma2 f'' + b f' + W f, periodic.
+
+    Dense central-difference discretization of the Feynman-Kac generator
+    on a periodic 1-d grid, eigendecomposed with numpy.  Returns
+    ``(x, lam, vecs)`` where ``A vecs[:, j] = -lam[j] vecs[:, j]`` and
+    ``lam`` is sorted ascending (``lam[0]`` is the Perron-Frobenius
+    eigenvalue of the semigroup, ``lam[1] - lam[0]`` the spectral gap).
+    Oracle for :func:`pspde.eval.eigen_subspace_refine`; no reference
+    counterpart (the notebooks' eigenproblems read only the dominant
+    eigenvalue from the trained SingleParam).
+    """
+    x = np.linspace(X_l, X_r, n, endpoint=False)
+    dx = (X_r - X_l) / n
+    bv = np.asarray(b(x), dtype=np.float64)
+    Wv = np.asarray(W(x), dtype=np.float64)
+    A = np.zeros((n, n))
+    i = np.arange(n)
+    up, dn = (i + 1) % n, (i - 1) % n
+    A[i, i] = -2.0 * half_sigma2 / dx ** 2 + Wv
+    A[i, up] += half_sigma2 / dx ** 2 + bv / (2.0 * dx)
+    A[i, dn] += half_sigma2 / dx ** 2 - bv / (2.0 * dx)
+    w, V = np.linalg.eig(A)
+    order = np.argsort(-w.real)[:k]
+    lam = -w.real[order]
+    vecs = V[:, order].real
+    # normalize to unit grid-RMS, dominant eigenfunction positive
+    vecs /= np.sqrt(np.mean(vecs ** 2, axis=0, keepdims=True))
+    if vecs[np.argmax(np.abs(vecs[:, 0])), 0] < 0:
+        vecs[:, 0] *= -1.0
+    return x, lam, vecs

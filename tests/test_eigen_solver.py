@@ -108,3 +108,62 @@ def test_estimate_lambda_richardson_cancels_dt_bias():
     # extrapolation must cancel most of it
     assert abs(lam_c) > 3 * se_c, (lam_c, se_c)
     assert abs(lam_R) < 0.5 * abs(lam_c), (lam_R, lam_c, se_R)
+
+
+def test_eigen_subspace_spectral_gap_matches_fd_oracle():
+    """Block Feynman-Kac power iteration (eval.eigen_subspace_refine)
+    recovers the TOP-TWO eigenvalues — i.e. the spectral gap — of the
+    d=1 Fokker-Planck generator, validated against the dense periodic
+    FD spectrum oracle (fd_oracles.generator_spectrum_periodic_1d).
+    No reference counterpart (notebooks read only lambda_0)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    from pspde.eval import eigen_subspace_refine
+    from pspde.problems.fd_oracles import generator_spectrum_periodic_1d
+
+    p = FokkerPlanckEigen(d=1)
+
+    def b1(x):
+        return np.asarray(p.b(jnp.asarray(x, jnp.float32)[:, None]))[:, 0]
+
+    def W1(x):
+        xj = jnp.asarray(x, jnp.float32)[:, None]
+        return np.asarray(p.h(xj, jnp.ones(len(x), jnp.float32), None))
+
+    _, lam_fd, _ = generator_spectrum_periodic_1d(b1, W1, n=256)
+    assert abs(lam_fd[0]) < 1e-4          # lambda_true = 0
+    assert abs(lam_fd[1] - 1.0) < 0.05    # near-Laplacian gap ~ 1
+
+    net = DenseNetTanh(d_out=1, arch=(20, 20))
+    Xs = 2.0 * np.pi * jax.random.uniform(jax.random.PRNGKey(7), (1024, 1))
+
+    @jax.jit
+    def fit(params, targets):
+        tx = optax.adam(3e-3)
+        state = tx.init(params)
+
+        def body(carry, _):
+            params, state = carry
+            g = jax.grad(lambda q: jnp.mean(
+                (net.apply(q, Xs)[:, 0] - targets) ** 2))(params)
+            up, state = tx.update(g, state, params)
+            return (optax.apply_updates(params, up), state), None
+
+        (params, _), _ = lax.scan(body, (params, state), None, length=1500)
+        return params
+
+    # crude initial subspace: constant (dominant guess) + first harmonic
+    inits = [jnp.ones(1024), jnp.sin(Xs[:, 0])]
+    params_list = [fit(net.init(jax.random.PRNGKey(j), Xs[:2]), t)
+                   for j, t in enumerate(inits)]
+
+    _, hist = eigen_subspace_refine(
+        p, net, params_list, n_stages=3, T_horizon=0.5, M=1024,
+        K_inner=32, delta_t=0.01, reg_steps=1500, reg_lr=3e-3,
+        key=jax.random.PRNGKey(1))
+    lams = hist[-1]["lambdas"]            # ascending
+    assert abs(lams[0] - lam_fd[0]) < 0.05
+    assert abs(lams[1] - lam_fd[1]) < 0.15
