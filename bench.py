@@ -42,6 +42,10 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0] if "/" in __file__ else ".")
 import jax
 import jax.numpy as jnp
 
+from pspde.utils import enable_compilation_cache
+
+enable_compilation_cache()  # reuse fused-kernel/step compiles across runs
+
 REFERENCE_PATH_STEPS_PER_SEC = 15_000.0
 V5E_HBM_BYTES_PER_SEC = 819e9
 V5E_BF16_PEAK_FLOPS = 197e12

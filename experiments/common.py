@@ -30,6 +30,8 @@ def parse_args(default_L: int, extra=None):
     args = ap.parse_args()
     if args.smoke:
         args.L = max(50, default_L // 100)
+    from pspde.utils import enable_compilation_cache
+    enable_compilation_cache()  # re-runs of a config skip XLA compiles
     return args
 
 

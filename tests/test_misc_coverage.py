@@ -91,3 +91,19 @@ def test_plot_trajectories_kwarg_wired():
                   early_stopping_time=None, plot_trajectories=8)
     s.train()
     assert s.trajectory_fig is not None
+
+
+def test_enable_compilation_cache(tmp_path):
+    """Persistent-compile-cache helper points JAX at the dir, creates it,
+    and jitted computation is unaffected (utils/compile_cache.py)."""
+    from pspde.utils import enable_compilation_cache
+    import os
+    d = enable_compilation_cache(str(tmp_path / "cc"),
+                                 min_compile_seconds=0.0)
+    try:
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        f = jax.jit(lambda x: (x * 2.0).sum())
+        np.testing.assert_allclose(float(f(jnp.ones((4, 3)))), 24.0)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
