@@ -59,7 +59,8 @@ TRAIN_FLOPS_PER_PATH_STEP = 3 * FWD_FLOPS_PER_PATH_STEP
 
 
 def measure(dtype, K=131072, d=D, steps_per_call=20, n_chunks=3,
-            rollout_mode="scan", rng_impl="threefry", layout="kd"):
+            rollout_mode="scan", rng_impl="threefry", layout="kd",
+            **solver_kw):
     from pspde.problems import LLGC
     from pspde.solvers import HJBSolver
     from pspde.solvers._chunk import make_chunked_step
@@ -73,6 +74,7 @@ def measure(dtype, K=131072, d=D, steps_per_call=20, n_chunks=3,
         detach_forward=True, learn_Y_0=True, verbose=False,
         early_stopping_time=None, remat=True, dtype=dtype,
         rollout_mode=rollout_mode, rng_impl=rng_impl, layout=layout,
+        **solver_kw,
     )
     N = solver.N
     chunk = make_chunked_step(solver._build_step(0), steps_per_call)

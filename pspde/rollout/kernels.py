@@ -430,6 +430,19 @@ def make_fused_train_rollout(
         noise = 4 * N * d * t if use_host_noise else 0
         return 2 * weight_bytes + bufs + noise
 
+    if unroll is None:
+        unroll = 2 if N % 2 == 0 else 1
+    if unroll < 1 or N % unroll:
+        raise ValueError(f"unroll={unroll} must divide N={N}")
+    # Scoped-VMEM calibration: the compile-helper OOM-crashes (not a
+    # catchable ValueError) when the unrolled step's live (d, tile)
+    # buffer set exceeds Mosaic's ~16 MiB scoped budget.  Measured fit
+    # boundary on v5e: d=100, tile=4096, unroll=2 compiles; u4+ at
+    # tile=4096 and d=300 at tile=4096 do not.  Cap d*tile*unroll at
+    # that measured product (lane dim kept a multiple of 128).
+    cal = 100 * 4096 * 2
+    max_tile = max(128, (cal // max(1, d * unroll)) // 128 * 128)
+    tile = min(tile, max_tile)
     while tile > 128 and vmem_estimate(tile) > 96 * 2**20:
         tile //= 2
     if vmem_estimate(tile) > 96 * 2**20:
@@ -439,10 +452,6 @@ def make_fused_train_rollout(
             % (vmem_estimate(tile) / 2**20))
     n_tiles = pl.cdiv(K, tile)
     Kp = n_tiles * tile
-    if unroll is None:
-        unroll = 2 if N % 2 == 0 else 1
-    if unroll < 1 or N % unroll:
-        raise ValueError(f"unroll={unroll} must divide N={N}")
 
     # ---- step math (traced, then closure-converted into the kernels) ----
     def step_math(XT, t, u_col, xi, *params):
@@ -692,6 +701,8 @@ def make_fused_train_rollout(
         return grads, jnp.zeros((), jnp.float32)
 
     run.defvjp(run_fwd, run_bwd)
+    run.tile = tile          # post-cap/shrink choice, for tests/tuning
+    run.unroll = unroll
     return run
 
 
@@ -737,11 +748,16 @@ def make_fused_train_rollout_sharded(
         idx = lax.axis_index(axis).astype(jnp.float32)
         return inner(leaves, seed_f + idx * np.float32(tiles_max))
 
-    return jax.shard_map(
+    out = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=FusedTrainOut(P(None, axis), P(axis), P(axis), P(axis)),
         check_vma=False)
+    try:
+        out.tile, out.unroll = inner.tile, inner.unroll
+    except AttributeError:  # shard_map output may reject attributes
+        pass
+    return out
 
 
 def reference_controlled_rollout(problem, u_apply, param_leaves, K, N,

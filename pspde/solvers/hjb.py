@@ -71,7 +71,8 @@ class HJBSolver:
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32,
                  rollout_mode="scan", steps_per_call=1,
-                 rng_impl="threefry", layout="kd", antithetic=False):
+                 rng_impl="threefry", layout="kd", antithetic=False,
+                 fused_tile=None, fused_unroll=None):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -162,6 +163,11 @@ class HJBSolver:
                     "antithetic training is not supported with the fused "
                     "Pallas rollouts - use rollout_mode='scan'")
         self.antithetic = antithetic
+        # fused-kernel tuning overrides (None = kernel defaults: tile 4096
+        # auto-capped by the d*tile*unroll scoped-VMEM calibration,
+        # unroll 2 for even N — rollout/kernels.py)
+        self.fused_tile = fused_tile
+        self.fused_unroll = fused_unroll
 
         # -- ansatz ---------------------------------------------------------
         # rng_impl: 'threefry' (default; cross-backend reproducible,
@@ -394,6 +400,10 @@ class HJBSolver:
                 adaptive_forward=cfg.adaptive_forward,
                 accumulate_kl=cfg.accumulate_kl,
                 kl_ito_term=cfg.kl_ito_term, u_tab=u_tab)
+            if self.fused_tile is not None:
+                fused_kw["tile"] = int(self.fused_tile)
+            if self.fused_unroll is not None:
+                fused_kw["unroll"] = int(self.fused_unroll)
             if self.mesh is not None:
                 from ..rollout.kernels import (
                     make_fused_train_rollout_sharded)

@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Most of the suite's wall-clock is XLA compiles of per-test jitted
+# steps; persist them so re-runs load instead of recompiling (entries
+# are keyed by platform, so TPU bench entries in the same dir do not
+# collide).  Tests that re-point the cache restore it themselves.
+from pspde.utils import enable_compilation_cache
+
+enable_compilation_cache(min_compile_seconds=0.5)
+
 import pytest
 
 

@@ -293,3 +293,44 @@ def test_solver_fused_train_mode_falls_back_off_tpu():
     s.train()
     assert len(s.loss_log) == 5
     assert np.isfinite(s.loss_log).all()
+
+
+def test_fused_train_kernel_tile_calibration_cap(setup):
+    """The scoped-VMEM calibration caps d*tile*unroll at the measured
+    v5e fit boundary (d=100, tile=4096, unroll=2) so large-d configs
+    auto-shrink instead of crashing the TPU compile helper; explicit
+    smaller tiles pass through untouched."""
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    from pspde.ansatz.transposed import make_transposed_apply
+    from pspde.problems import LLGC
+    from pspde.rollout.kernels import make_fused_train_rollout
+
+    leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
+    kw = dict(adaptive_forward=True, u_tab=None, interpret=True)
+    # small d: the default tile survives (no cap bites)
+    r = make_fused_train_rollout(p, z_apply_T, leaves_ex, K, N, DT, **kw)
+    assert r.tile == 4096 and r.unroll == 2
+    # explicit tiny tile passes through
+    r = make_fused_train_rollout(p, z_apply_T, leaves_ex, K, N, DT,
+                                 tile=32, **kw)
+    assert r.tile == 32
+    # big d: capped to the calibration product, lane-multiple of 128
+    p300 = LLGC(d=300, T=1.0)
+    s300 = HJBSolver("cap300", p300, lr=1e-2, L=1, K=K, delta_t=DT,
+                     time_approx="inner", loss_method="log-variance",
+                     detach_forward=True, learn_Y_0=True, verbose=False,
+                     early_stopping_time=None)
+    lv300, zT300 = make_transposed_apply(s300.z_net, s300.params["z"])
+    r = make_fused_train_rollout(p300, zT300, lv300, K, N, DT, **kw)
+    assert r.tile * 300 * r.unroll <= 100 * 4096 * 2
+    assert r.tile % 128 == 0
+    # solver kwargs plumb through to the kernel
+    s2 = HJBSolver("ft-tile", LLGC(d=4, T=0.5), lr=1e-2, L=2, K=32,
+                   delta_t=0.1, time_approx="inner",
+                   loss_method="log-variance", detach_forward=True,
+                   learn_Y_0=True, verbose=False, early_stopping_time=None,
+                   rollout_mode="fused_train", fused_tile=256,
+                   fused_unroll=1)
+    assert s2.fused_tile == 256 and s2.fused_unroll == 1
+    s2.train()
+    assert np.isfinite(s2.loss_log).all()

@@ -98,6 +98,7 @@ def test_enable_compilation_cache(tmp_path):
     and jitted computation is unaffected (utils/compile_cache.py)."""
     from pspde.utils import enable_compilation_cache
     import os
+    prev = jax.config.jax_compilation_cache_dir
     d = enable_compilation_cache(str(tmp_path / "cc"),
                                  min_compile_seconds=0.0)
     try:
@@ -106,4 +107,4 @@ def test_enable_compilation_cache(tmp_path):
         f = jax.jit(lambda x: (x * 2.0).sum())
         np.testing.assert_allclose(float(f(jnp.ones((4, 3)))), 24.0)
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_dir", prev)
