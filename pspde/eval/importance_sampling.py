@@ -71,9 +71,9 @@ def _qmc_noise(K: int, N: int, d: int, seed: int, bridge: bool = True):
 
     Each path is one Sobol point of dimension N*d (Owen-scrambled, so
     estimates stay unbiased and independent across seeds); uniforms map
-    to normals via the erfinv quantile.  Host-generated with torch's
-    SobolEngine (CPU) — QMC is a serve-path feature for moderate K,
-    bounded by the (N, K, d) host buffer.
+    to normals via the erfinv quantile.  Host-generated with scipy's
+    ``stats.qmc.Sobol`` (CPU) — QMC is a serve-path feature for moderate
+    K, bounded by the (N, K, d) host buffer.
 
     With ``bridge`` (default) the path is assembled by BROWNIAN-BRIDGE
     bisection — Sobol dimension 0 sets the endpoint W_N, subsequent
@@ -84,15 +84,20 @@ def _qmc_noise(K: int, N: int, d: int, seed: int, bridge: bool = True):
     ordering (16x below PRNG MC).  The increments of the bridge path
     are exact unit normals, so the estimator is unchanged in
     distribution."""
-    import torch  # baked into the image; CPU only
+    import warnings
 
-    eng = torch.quasirandom.SobolEngine(dimension=N * d, scramble=True,
-                                        seed=int(seed))
-    u = eng.draw(K, dtype=torch.float64)
+    from scipy.special import erfinv
+    from scipy.stats import qmc
+
+    eng = qmc.Sobol(d=N * d, scramble=True, seed=int(seed))
+    with warnings.catch_warnings():
+        # scipy warns when K is not a power of two; Owen scrambling keeps
+        # the estimator unbiased at any K, so the warning is advisory
+        warnings.simplefilter("ignore", UserWarning)
+        u = eng.random(K).astype(np.float64)
     eps = 1e-12
-    u = u.clamp(eps, 1.0 - eps)
-    z = (torch.erfinv(2.0 * u - 1.0) * float(np.sqrt(2.0))) \
-        .reshape(K, N, d).numpy()
+    u = np.clip(u, eps, 1.0 - eps)
+    z = (erfinv(2.0 * u - 1.0) * np.sqrt(2.0)).reshape(K, N, d)
     if not bridge:
         return jnp.asarray(z.transpose(1, 0, 2), dtype=jnp.float32)
 

@@ -442,9 +442,19 @@ def make_fused_train_rollout(
     # that measured product (lane dim kept a multiple of 128).
     cal = 100 * 4096 * 2
     max_tile = max(128, (cal // max(1, d * unroll)) // 128 * 128)
-    tile = min(tile, max_tile)
+    if tile > max_tile:
+        if tile != 4096:  # an explicitly requested tile is being capped
+            import warnings
+            warnings.warn(
+                "fused_train_rollout: requested tile=%d exceeds the "
+                "d*tile*unroll scoped-VMEM calibration at d=%d, unroll=%d;"
+                " capped to %d" % (tile, d, unroll, max_tile))
+        tile = max_tile
     while tile > 128 and vmem_estimate(tile) > 96 * 2**20:
-        tile //= 2
+        # shrink on the lane dim: keep it a multiple of 128 (the cap's own
+        # invariant — plain halving of a non-power-of-two cap like 1280
+        # would yield 640 -> 320, violating Mosaic's lane tiling)
+        tile = max(128, (tile // 2) // 128 * 128)
     if vmem_estimate(tile) > 96 * 2**20:
         raise ValueError(
             "fused_train_rollout: VMEM estimate %.1f MiB exceeds budget "

@@ -391,6 +391,8 @@ class HJBSolver:
                     self.z_net, self.params["z"])
             except NotImplementedError:
                 use_fused_train = False
+                rollout = (hjb_rollout_batched_grad if path_grad_ok
+                           else hjb_rollout)
         if use_fused_train:
             u_tab = None
             if self.u_l2_error_flag:
@@ -448,6 +450,41 @@ class HJBSolver:
                     z_net_dk, p, jnp.zeros((d_in, 4), dtype)), sample_p)
             except NotImplementedError:
                 use_dk = False
+
+        # -- surface the resolved engine (VERDICT r3 item 8): opt-in perf
+        # modes gate on many conditions and used to fall back silently, so
+        # a user benchmarking 'fused_train' could measure the scan with no
+        # signal.  Record what actually runs and warn once on a downgrade.
+        self.resolved_rollout_mode = (
+            "fused_train" if use_fused_train
+            else "fused" if use_fused
+            else "batched_grad" if (use_batched_grad
+                                    or rollout is hjb_rollout_batched_grad)
+            else "scan")
+        self.resolved_layout = "dk" if use_dk else "kd"
+        if not getattr(self, "_fallback_warned", False):
+            import warnings
+            msgs = []
+            if (self.rollout_mode in ("fused", "fused_train",
+                                      "batched_grad")
+                    and self.resolved_rollout_mode != self.rollout_mode):
+                msgs.append(
+                    "rollout_mode=%r fell back to %r (a gate failed: see "
+                    "the rollout_mode docstring in HJBSolver.__init__ for "
+                    "the requirements)"
+                    % (self.rollout_mode, self.resolved_rollout_mode))
+            if (self.layout == "dk" and self.resolved_layout != "dk"
+                    and self.resolved_rollout_mode == "scan"):
+                # (the fused kernels are K-in-lanes internally, so a
+                # resolved fused mode already delivers the dk layout)
+                msgs.append(
+                    "layout='dk' fell back to 'kd' (needs rollout_mode="
+                    "'scan', control mode, the problem's transposed-"
+                    "coefficient protocol and a transposed-apply net)")
+            if msgs:
+                self._fallback_warned = True
+                warnings.warn("; ".join(msgs), stacklevel=2)
+
         if use_dk:
             if self.time_approx == "outer":
                 def control_T_fn(params, XT, n, t):

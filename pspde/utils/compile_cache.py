@@ -32,18 +32,15 @@ _DEFAULT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".jax_cache")
 
-_enabled = False
-
-
 def enable_compilation_cache(path: str | None = None,
                              min_compile_seconds: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at ``path`` (created if
     missing).  Executables whose compile took >= ``min_compile_seconds``
     are written; later processes with identical jaxpr/config/shape hash
     deserialize instead of recompiling.  Returns the cache dir.
-    Idempotent; a second call with a different path re-points the cache.
+    Idempotent (jax.config.update is); a second call with a different
+    path re-points the cache.
     """
-    global _enabled
     path = os.path.abspath(path or os.environ.get(
         "PSPDE_COMPILE_CACHE", _DEFAULT))
     os.makedirs(path, exist_ok=True)
@@ -55,5 +52,4 @@ def enable_compilation_cache(path: str | None = None,
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except AttributeError:  # older jax: flag absent, default is fine
         pass
-    _enabled = True
     return path

@@ -148,3 +148,43 @@ def test_rng_impl_rbg_converges():
     s.train()
     assert s.u_L2_loss[-1] < 0.05
     assert s.loss_log[-1] < 0.1 * s.loss_log[0]
+
+
+def test_perf_mode_fallback_is_surfaced():
+    """Opt-in perf modes must not downgrade silently (VERDICT r3 item 8):
+    the solver records the resolved engine and warns once when an
+    explicit rollout_mode / layout opt-in falls back."""
+    import warnings
+
+    # fused_train gates on a TPU backend -> falls back on the CPU mesh
+    s = _solver("log-variance", L=1, rollout_mode="fused_train",
+                detach_forward=True, problem=LLGC(d=2, T=0.5))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._build_step(0)
+    assert s.resolved_rollout_mode == "batched_grad"  # path_grad_ok holds
+    assert any("fell back" in str(x.message) for x in w), w
+    # ... and only once
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        s._build_step(0)
+    assert not any("fell back" in str(x.message) for x in w2)
+
+    # layout='dk' on a value_function solver cannot transpose -> warn
+    s2 = _solver("moment", L=1, layout="dk",
+                 approx_method="value_function", learn_Y_0=False)
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        s2._build_step(0)
+    assert s2.resolved_layout == "kd"
+    assert any("fell back" in str(x.message) for x in w3), w3
+
+    # a SUCCESSFUL dk resolution records 'dk' and stays quiet
+    s3 = _solver("log-variance", L=1, layout="dk",
+                 problem=LLGC(d=2, T=0.5))
+    with warnings.catch_warnings(record=True) as w4:
+        warnings.simplefilter("always")
+        s3._build_step(0)
+    assert s3.resolved_layout == "dk"
+    assert s3.resolved_rollout_mode == "scan"
+    assert not any("fell back" in str(x.message) for x in w4)

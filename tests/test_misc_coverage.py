@@ -99,6 +99,11 @@ def test_enable_compilation_cache(tmp_path):
     from pspde.utils import enable_compilation_cache
     import os
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    except AttributeError:
+        prev_size = None
     d = enable_compilation_cache(str(tmp_path / "cc"),
                                  min_compile_seconds=0.0)
     try:
@@ -108,3 +113,8 @@ def test_enable_compilation_cache(tmp_path):
         np.testing.assert_allclose(float(f(jnp.ones((4, 3)))), 24.0)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+        if prev_size is not None:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              prev_size)
