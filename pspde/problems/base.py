@@ -126,6 +126,16 @@ class DiffusionMatrix:
             return self.diag[:, None] * v
         return jnp.matmul(self.mat, v)
 
+    def apply_T_cols(self, v: jnp.ndarray) -> jnp.ndarray:
+        """sigma^T @ v in COLUMN layout: v (d, K) -> (d, K).  Used by the
+        transposed stopped rollout for Z = sigma^T grad V
+        (rollout/sde.py: stopped_rollout_dk)."""
+        if self.kind == "scalar":
+            return self.scale * v
+        if self.kind == "diag":
+            return self.diag[:, None] * v
+        return jnp.matmul(self.mat.T, v)
+
     def inv_apply(self, v: jnp.ndarray) -> jnp.ndarray:
         """sigma^{-1} @ v per batch row (used to reconstruct the driving
         noise from Euler-Maruyama increments in the fused training

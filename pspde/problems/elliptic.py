@@ -41,6 +41,16 @@ class _ZeroDriftBall(Problem):
     def f(self, x, t=None):
         return jnp.zeros(x.shape[0], dtype=x.dtype)
 
+    # transposed-coefficient protocol (base.py; column layout, batch in
+    # the TPU lane dimension): zero drift is layout-trivial; subclasses
+    # add h_T — their h's consume x only through per-path reductions, so
+    # the column form just swaps the reduction axis to 0.
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def f_T(self, xT, t=None):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
 
 class ExponentialOnSphere(_ZeroDriftBall):
     """Linear elliptic on the unit ball, manufactured v = exp(alpha |x|^2)."""
@@ -56,6 +66,13 @@ class ExponentialOnSphere(_ZeroDriftBall):
     def h(self, x, y, z):
         return -self.alpha * y * (self.alpha * 4.0 * jnp.sum(x * x, axis=-1)
                                   + 2.0 * self.d)
+
+    def h_T(self, xT, y, zT):
+        return -self.alpha * y * (self.alpha * 4.0 * jnp.sum(xT * xT, axis=0)
+                                  + 2.0 * self.d)
+
+    def v_ref_T(self, xT):
+        return jnp.exp(self.alpha * jnp.sum(xT * xT, axis=0))
 
     def u_ref(self, x):
         return (-2.0 * jnp.sqrt(2.0) * self.alpha * x
@@ -87,6 +104,14 @@ class ExponentialOnBallNonlinear(_ZeroDriftBall):
         return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d)
                 + jnp.exp(2.0 * self.alpha * r2) - y ** 2)
 
+    def h_T(self, xT, y, zT):
+        r2 = jnp.sum(xT * xT, axis=0)
+        return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d)
+                + jnp.exp(2.0 * self.alpha * r2) - y ** 2)
+
+    def v_ref_T(self, xT):
+        return jnp.exp(self.alpha * jnp.sum(xT * xT, axis=0))
+
     def v_ref(self, x):
         return jnp.exp(self.alpha * jnp.sum(x * x, axis=-1))
 
@@ -96,6 +121,11 @@ class ExponentialOnBallNonlinearSin(ExponentialOnBallNonlinear):
 
     def h(self, x, y, z):
         r2 = jnp.sum(x * x, axis=-1)
+        return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d)
+                + jnp.sin(jnp.exp(2.0 * self.alpha * r2) - y ** 2))
+
+    def h_T(self, xT, y, zT):
+        r2 = jnp.sum(xT * xT, axis=0)
         return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d)
                 + jnp.sin(jnp.exp(2.0 * self.alpha * r2) - y ** 2))
 
@@ -123,6 +153,15 @@ class ExponentialOnBallNonlinearSinHessian(_ZeroDriftBall):
         r2 = jnp.sum(x * x, axis=-1)
         return (-2.0 * self.alpha * y * (self.alpha * 2.0 * outer + self.d)
                 + jnp.sin(jnp.exp(2.0 * self.alpha * r2) - y ** 2))
+
+    def h_T(self, xT, y, zT):
+        outer = jnp.sum(xT, axis=0) ** 2
+        r2 = jnp.sum(xT * xT, axis=0)
+        return (-2.0 * self.alpha * y * (self.alpha * 2.0 * outer + self.d)
+                + jnp.sin(jnp.exp(2.0 * self.alpha * r2) - y ** 2))
+
+    def v_ref_T(self, xT):
+        return jnp.exp(self.alpha * jnp.sum(xT * xT, axis=0))
 
     def v_ref(self, x):
         return jnp.exp(self.alpha * jnp.sum(x * x, axis=-1))
@@ -158,6 +197,20 @@ class Committor(Problem):
 
     def h(self, x, y, z):
         return jnp.zeros(x.shape[0], dtype=x.dtype)
+
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def h_T(self, xT, y, zT):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
+    def f_T(self, xT, t=None):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
+    def v_ref_T(self, xT):
+        r = jnp.sqrt(jnp.sum(xT * xT, axis=0))
+        return ((self.a ** 2 - r ** (2 - self.d) * self.a ** self.d)
+                / (self.a ** 2 - self.c ** (2 - self.d) * self.a ** self.d))
 
     def v_ref(self, x):
         r = jnp.sqrt(jnp.sum(x * x, axis=-1))

@@ -93,6 +93,17 @@ class AllenCahn(Problem):
     def f_terminal(self, x):
         return 1.0 / (2.0 + 0.4 * jnp.sum(x * x, axis=-1))
 
+    # transposed-coefficient protocol (base.py): b = 0 and h touches only
+    # the per-path y, so the column forms are trivial
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def h_T(self, t, xT, y, zT):
+        return y - y ** 3
+
+    def f_T(self, xT, t=None):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
+
 
 class ExponentialOnSphereParabolic(Problem):
     """Manufactured linear parabolic problem, v = exp(alpha |x|^2 + t)
@@ -164,6 +175,18 @@ class ExponentialOnSphereNonlinearParabolic(Problem):
         r2 = jnp.sum(x * x, axis=-1)
         return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d) - y
                 + jnp.sin(jnp.exp(2.0 * self.alpha * r2 + 2.0 * t) - y ** 2))
+
+    # transposed-coefficient protocol (base.py): x enters only via |x|^2
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def h_T(self, t, xT, y, zT):
+        r2 = jnp.sum(xT * xT, axis=0)
+        return (-2.0 * self.alpha * y * (self.alpha * 2.0 * r2 + self.d) - y
+                + jnp.sin(jnp.exp(2.0 * self.alpha * r2 + 2.0 * t) - y ** 2))
+
+    def f_T(self, xT, t=None):
+        return jnp.zeros(xT.shape[1], dtype=xT.dtype)
 
     def v_ref(self, x, t):
         return jnp.exp(self.alpha * jnp.sum(x * x, axis=-1) + t)

@@ -142,3 +142,31 @@ def inside_fn(geom: Geometry):
         raise ValueError(kind)
 
     return fn
+
+
+def inside_fn_cols(geom: Geometry):
+    """Column-layout (d, K) variant of :func:`inside_fn` for the
+    transposed stopped rollout (rollout/sde.py: stopped_rollout_dk) —
+    identical semantics, reductions over axis 0."""
+    kind = geom.kind
+
+    def fn(XT, XT_prop):
+        if kind in ("unbounded", "unbounded_square"):
+            return jnp.ones(XT.shape[1], dtype=bool)
+        if kind == "sphere":
+            return (jnp.sqrt(jnp.sum(XT * XT, axis=0))
+                    < geom.boundary_distance)
+        if kind == "two_spheres":
+            r = jnp.sqrt(jnp.sum(XT * XT, axis=0))
+            return ((r > geom.boundary_distance_1)
+                    & (r < geom.boundary_distance_2))
+        if kind == "square":
+            if geom.one_boundary:
+                return jnp.all(XT_prop <= geom.X_r, axis=0)
+            return jnp.all((XT_prop >= geom.X_l) & (XT_prop <= geom.X_r),
+                           axis=0)
+        if kind == "square-corner":
+            return jnp.any(XT_prop <= geom.X_r, axis=0)
+        raise ValueError(kind)
+
+    return fn

@@ -632,9 +632,130 @@ def stopped_rollout(
     return StoppedRolloutOut(*out)
 
 
+def stopped_rollout_dk(
+    cfg: StoppedRolloutConfig,
+    problem,
+    value_grad_fn_T: Callable,  # (params, XT (d,K), t) -> (V (K,), ZT (d,K))
+    params: Any,
+    X0T: jnp.ndarray,         # (d, K)
+    Y0: jnp.ndarray,
+    t0: jnp.ndarray,          # (K,)
+    key: jax.Array,
+    inside_fn_T: Callable,    # (XT, XT_prop) -> (K,) bool domain test
+    v_ref_T: Optional[Callable] = None,   # (XT,) -> (K,)
+    noise_layout: str = "dk",
+) -> StoppedRolloutOut:
+    """Transposed (K-in-lanes) variant of :func:`stopped_rollout`.
+
+    The path state is carried as (d, K) COLUMNS so the value-net matmuls
+    — including the per-step vjp that computes Z = sigma^T grad V
+    (solver.py:725-729) — run with the path axis in the TPU lane
+    dimension (ansatz/transposed.py layout note; the same fix that lifted
+    the HJB scan 1.6x together with rng_impl='rbg').  Masking algebra is
+    step-for-step :func:`stopped_rollout` (solver.py:723-785), with every
+    per-path mask a (K,) row vector broadcast over columns.
+
+    Requirements: problem implements the transposed-coefficient protocol
+    (base.py: b_T / h_T), ``inside_fn_T`` from
+    rollout/sampling.py: inside_fn_cols, and a column-layout
+    ``value_grad_fn_T`` (solvers build it from ansatz/transposed.py:
+    transposed_apply).  ``noise_layout='kd'`` draws the exact fold_in
+    noise stream of :func:`stopped_rollout` (one extra relayout per step;
+    bitwise equivalence tests); the default 'dk' draws (d, K) directly.
+
+    Returns X in the standard (K, d) row layout (one terminal transpose).
+    """
+    d, K = X0T.shape
+    dt = jnp.float32(cfg.delta_t)
+    sq_dt = jnp.sqrt(dt)
+    sig = problem.sigma_struct
+    T = problem.T if cfg.time_stopping else None
+
+    def step(carry, n):
+        XT, Y, t, stopped, hitting, v_l2, step_loss, active_count = carry
+        active = ~stopped
+
+        V_here, ZT = value_grad_fn_T(params, XT, t)
+
+        if v_ref_T is not None:
+            err = (lax.stop_gradient(V_here) - v_ref_T(XT)) ** 2
+            v_l2 = v_l2 + jnp.where(active, err, 0.0) * dt
+
+        if cfg.adaptive_forward:
+            c = -ZT
+        else:
+            c = jnp.zeros_like(XT)
+        if cfg.detach_forward:
+            c = lax.stop_gradient(c)
+
+        if noise_layout == "kd":
+            xi = jax.random.normal(jax.random.fold_in(key, n), (K, d),
+                                   dtype=XT.dtype).T
+        else:
+            xi = jax.random.normal(jax.random.fold_in(key, n), (d, K),
+                                   dtype=XT.dtype)
+        drift = (problem.b_T(XT) + sig.apply_cols(c)) * dt \
+            + sig.apply_cols(xi) * sq_dt
+        XT_prop = XT + drift * active[None, :].astype(XT.dtype)
+
+        new_sel = inside_fn_T(XT, XT_prop)
+        if cfg.time_stopping:
+            new_sel = new_sel & ((t + dt) <= T)
+        adv = new_sel & active
+        advf = adv.astype(XT.dtype)
+
+        hitting = hitting + active.astype(XT.dtype)
+
+        if cfg.step_loss == "BSDE-2":
+            step_loss = step_loss + cfg.alpha0 * jnp.mean(
+                (V_here - Y) ** 2 * advf)
+
+        if cfg.no_y_update:
+            Y_new = Y
+            h_val = jnp.zeros_like(Y)
+        else:
+            y_in_h = Y if cfg.recursive_y_in_h else V_here
+            h_val = _call_h_T(problem, t, XT, y_in_h, ZT)
+            dY = ((-h_val + jnp.sum(ZT * c, axis=0)) * dt
+                  + jnp.sum(ZT * xi, axis=0) * sq_dt)
+            Y_new = Y + dY * advf
+
+        XT_new = jnp.where(adv[None, :], XT_prop, XT)
+        t_new = t + dt * advf if cfg.time_stopping else t
+
+        if cfg.step_loss == "BSDE-3":
+            V_next, _ = value_grad_fn_T(params, XT_new, t_new)
+            resid = (V_next - V_here
+                     + (h_val - jnp.sum(ZT * c, axis=0)) * dt
+                     - jnp.sum(ZT * xi, axis=0) * sq_dt)
+            step_loss = step_loss + cfg.alpha0 * jnp.mean(resid ** 2 * advf)
+
+        active_count = active_count + jnp.sum(advf)
+        stopped_new = stopped | ~new_sel
+
+        return (XT_new, Y_new, t_new, stopped_new, hitting, v_l2, step_loss,
+                active_count), None
+
+    if cfg.remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    zeros = jnp.zeros((K,), dtype=X0T.dtype)
+    carry0 = (X0T, Y0, t0, jnp.zeros((K,), dtype=bool), zeros, zeros,
+              jnp.float32(0.0), jnp.float32(0.0))
+    out = _remat_scan(step, carry0, cfg.N, cfg.remat)
+    return StoppedRolloutOut(out[0].T, *out[1:])
+
+
 def _call_h(problem, t, x, y, z):
     """Dispatch the reference's two h signatures: elliptic h(x, y, z)
     (problems.py:985) vs parabolic h(t, x, y, z) (problems.py:45)."""
     if getattr(problem, "T", None) is None:
         return problem.h(x, y, z)
     return problem.h(t, x, y, z)
+
+
+def _call_h_T(problem, t, xT, y, zT):
+    """Column-layout dispatch of :func:`_call_h` (h_T protocol, base.py)."""
+    if getattr(problem, "T", None) is None:
+        return problem.h_T(xT, y, zT)
+    return problem.h_T(t, xT, y, zT)

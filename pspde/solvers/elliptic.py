@@ -24,7 +24,8 @@ from ..ansatz import DenseNet
 from ..losses.pinn import elliptic_pinn_residual
 from ..parallel.mesh import constrain_batch
 from ..rollout.sampling import inside_fn, sample_boundary, sample_domain
-from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+from ..rollout.sde import (StoppedRolloutConfig, stopped_rollout,
+                           stopped_rollout_dk)
 from ._chunk import run_training
 
 
@@ -55,7 +56,8 @@ class EllipticSolver:
                  boundary_loss=True, boundary_type="Dirichlet",
                  variance_moment_split=False, full_hessian=False,
                  uniform_square=False, value_net=None, remat=None,
-                 mesh=None, steps_per_call=1):
+                 mesh=None, steps_per_call=1, rng_impl="threefry",
+                 layout="kd"):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -91,8 +93,20 @@ class EllipticSolver:
         self.steps_per_call = steps_per_call
         self.remat = (N > 512) if remat is None else remat
 
+        # rng_impl='rbg' swaps the in-rollout noise / sampling draws for
+        # XLA's RngBitGenerator (cf. HJBSolver rng_impl: threefry bit
+        # generation is a first-order VPU cost at large K); layout='dk'
+        # carries the stopped-rollout path state transposed (d, K) so the
+        # per-step value-net vjp matmuls run K-in-lanes (rollout/sde.py:
+        # stopped_rollout_dk; falls back to 'kd' with a warning when the
+        # problem lacks the transposed protocol or the net lacks a
+        # transposed apply).  Param init always uses threefry.
+        self.rng_impl = rng_impl
+        self.layout = layout
         key = jax.random.PRNGKey(seed)
         k_net, self._train_key = jax.random.split(key)
+        if rng_impl != "threefry":
+            self._train_key = jax.random.key(seed ^ 0x5eed, impl=rng_impl)
         self.V_net = value_net if value_net is not None else DenseNet(d_out=1)
         self.params = self.V_net.init(k_net, jnp.zeros((1, self.d)))
         self.tx = optax.adam(lr)
@@ -133,6 +147,48 @@ class EllipticSolver:
 
         return fn
 
+    def _value_grad_fn_T(self):
+        """Column-layout (d, K) variant of :meth:`_value_grad_fn` for the
+        transposed stopped rollout (layout='dk'): the vjp runs through
+        ansatz/transposed.py so every matmul — forward and pullback —
+        keeps the path axis in the TPU lane dimension."""
+        from ..ansatz.transposed import transposed_apply
+        sig = self.problem.sigma_struct
+        net = self.V_net
+
+        def fn(params, XT, t):
+            v_of_xT = lambda xT: transposed_apply(net, params, xT)[0, :]
+            V, pull = jax.vjp(v_of_xT, XT)
+            (gradXT,) = pull(jnp.ones_like(V))
+            return V, sig.apply_T_cols(gradXT)
+
+        return fn
+
+    def _resolve_dk(self, needs_xt: bool = False):
+        """Resolve layout='dk' -> usable transposed pieces, or fall back
+        to 'kd' with a one-time warning (cf. HJBSolver resolution)."""
+        from ..ansatz.transposed import transposed_apply
+        use_dk = (self.layout == "dk"
+                  and getattr(self.problem, "supports_transposed", False)
+                  and self.loss_method != "PINN")
+        if use_dk:
+            d_in = self.d + 1 if needs_xt else self.d
+            try:
+                jax.eval_shape(lambda p: transposed_apply(
+                    self.V_net, p, jnp.zeros((d_in, 4))), self.params)
+            except NotImplementedError:
+                use_dk = False
+        self.resolved_layout = "dk" if use_dk else "kd"
+        if (self.layout == "dk" and not use_dk
+                and not getattr(self, "_fallback_warned", False)):
+            import warnings
+            self._fallback_warned = True
+            warnings.warn(
+                "layout='dk' fell back to 'kd' (needs the problem's "
+                "transposed-coefficient protocol, a transposed-apply-"
+                "capable value net, and a non-PINN loss)", stacklevel=3)
+        return use_dk
+
     def _rollout_cfg(self):
         lm = self.loss_method
         return StoppedRolloutConfig(
@@ -166,6 +222,14 @@ class EllipticSolver:
         K, Kb, d = self.K, self.K_boundary, self.d
         a0, a1 = self.alpha[0], self.alpha[1]
         v_ref = problem.v_ref if hasattr(problem, "v_ref") else None
+        use_dk = self._resolve_dk()
+        if use_dk:
+            from ..rollout.sampling import inside_fn_cols
+            vg_fn_T = self._value_grad_fn_T()
+            ins_T = inside_fn_cols(geom)
+            v_ref_T = (getattr(problem, "v_ref_T", None)
+                       or (None if v_ref is None
+                           else (lambda XT: v_ref(XT.T))))
 
         def loss_fn(params, key):
             kb, kd, kr = jax.random.split(key, 3)
@@ -194,8 +258,18 @@ class EllipticSolver:
                 Y0 = jnp.zeros((K,))
             Y0 = constrain_batch(Y0, self.mesh)
 
-            out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0,
-                                  jnp.zeros((K,)), kr, ins, v_ref=v_ref)
+            if use_dk:
+                X0T = X0.T
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                out = stopped_rollout_dk(cfg, problem, vg_fn_T, params,
+                                         X0T, Y0, jnp.zeros((K,)), kr,
+                                         ins_T, v_ref_T=v_ref_T)
+            else:
+                out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0,
+                                      jnp.zeros((K,)), kr, ins, v_ref=v_ref)
             loss = loss + out.step_loss
 
             if lm == "diffusion":

@@ -21,7 +21,8 @@ from ..ansatz import DenseNet
 from ..losses.pinn import parabolic_pinn_residual
 from ..parallel.mesh import constrain_batch
 from ..rollout.sampling import inside_fn, sample_boundary, sample_domain
-from ..rollout.sde import StoppedRolloutConfig, stopped_rollout
+from ..rollout.sde import (StoppedRolloutConfig, stopped_rollout,
+                           stopped_rollout_dk)
 from ._chunk import run_training
 from .elliptic import masked_mean
 
@@ -42,7 +43,8 @@ class GeneralSolver:
                  PINN_log_variance=False, log_loss_parts=False,
                  boundary_loss=True, full_hessian=False,
                  uniform_square=False, solve_linear_L2_projection=False,
-                 value_net=None, remat=None, mesh=None, steps_per_call=1):
+                 value_net=None, remat=None, mesh=None, steps_per_call=1,
+                 rng_impl="threefry", layout="kd"):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -78,8 +80,15 @@ class GeneralSolver:
         self.steps_per_call = steps_per_call
         self.remat = (N > 512) if remat is None else remat
 
+        # rng_impl / layout: see EllipticSolver (same semantics; layout
+        # ='dk' runs the transposed stopped rollout with the (x, t) net
+        # input assembled as columns + a t row)
+        self.rng_impl = rng_impl
+        self.layout = layout
         key = jax.random.PRNGKey(seed)
         k_net, self._train_key = jax.random.split(key)
+        if rng_impl != "threefry":
+            self._train_key = jax.random.key(seed ^ 0x5eed, impl=rng_impl)
         self.V_net = value_net if value_net is not None else DenseNet(d_out=1)
         self.params = self.V_net.init(k_net, jnp.zeros((1, self.d + 1)))
         self.tx = optax.adam(lr)
@@ -149,6 +158,38 @@ class GeneralSolver:
             return fn_noz
         return fn
 
+    def _value_grad_fn_T(self):
+        """Column-layout variant of :meth:`_value_grad_fn` (layout='dk',
+        rollout/sde.py: stopped_rollout_dk): the (x, t) net input is
+        assembled as (d+1, K) columns with t as the last row and the vjp
+        runs through ansatz/transposed.py, keeping the path axis in the
+        TPU lane dimension."""
+        from ..ansatz.transposed import transposed_apply
+        sig = self.problem.sigma_struct
+        net = self.V_net
+
+        def fn(params, XT, t):
+            def v_of_xT(xT):
+                xtT = jnp.concatenate([xT, t[None, :]], axis=0)
+                return transposed_apply(net, params, xtT)[0, :]
+            V, pull = jax.vjp(v_of_xT, XT)
+            (gradXT,) = pull(jnp.ones_like(V))
+            return V, sig.apply_T_cols(gradXT)
+
+        if self.solve_linear_L2_projection:
+            def fn_noz(params, XT, t):
+                xtT = jnp.concatenate([XT, t[None, :]], axis=0)
+                return (transposed_apply(net, params, xtT)[0, :],
+                        jnp.zeros_like(XT))
+            return fn_noz
+        return fn
+
+    # layout='dk' resolution: same gates and fallback warning as
+    # EllipticSolver (the value net here takes a d+1 input)
+    from .elliptic import EllipticSolver as _Ell
+    _resolve_dk = _Ell._resolve_dk
+    del _Ell
+
     def _rollout_cfg(self):
         lm = self.loss_method
         return StoppedRolloutConfig(
@@ -187,6 +228,11 @@ class GeneralSolver:
         a0, a1, a2 = self.alpha
         T = self.T
         dt = self.delta_t
+        use_dk = self._resolve_dk(needs_xt=True)
+        if use_dk:
+            from ..rollout.sampling import inside_fn_cols
+            vg_fn_T = self._value_grad_fn_T()
+            ins_T = inside_fn_cols(geom)
 
         def loss_fn(params, key):
             kb, kbt, kd, kt, kr = jax.random.split(key, 5)
@@ -220,8 +266,17 @@ class GeneralSolver:
                 Y0 = jnp.zeros((K,))
             Y0 = constrain_batch(Y0, self.mesh)
 
-            out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0, t0,
-                                  kr, ins)
+            if use_dk:
+                X0T = X0.T
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                out = stopped_rollout_dk(cfg, problem, vg_fn_T, params,
+                                         X0T, Y0, t0, kr, ins_T)
+            else:
+                out = stopped_rollout(cfg, problem, vg_fn, params, X0, Y0,
+                                      t0, kr, ins)
             loss = loss + out.step_loss
 
             if lm == "diffusion":

@@ -145,3 +145,106 @@ def test_dk_lqgc_kl_running_cost():
                          noise_layout="kd")
     np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out.Z_sum, ref.Z_sum, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Transposed STOPPED rollout (elliptic/general solvers, VERDICT r3 item 6)
+
+def test_stopped_dk_matches_kd_outputs_and_grads():
+    """stopped_rollout_dk(noise_layout='kd') consumes the exact fold_in
+    noise stream of stopped_rollout: outputs (incl. masks/counters) and
+    diffusion-loss parameter gradients agree to f32 tolerance."""
+    from pspde.problems import ExponentialOnBallNonlinearSin
+    from pspde.rollout.sampling import inside_fn, inside_fn_cols
+    from pspde.rollout.sde import (StoppedRolloutConfig, stopped_rollout,
+                                   stopped_rollout_dk)
+    from pspde.solvers import EllipticSolver
+
+    d, Ke, Ne = 5, 64, 12
+    p = ExponentialOnBallNonlinearSin(d=d, alpha=0.5)
+    s = EllipticSolver(p, "dk-stop", loss_method="diffusion", K=Ke, N=Ne,
+                       delta_t=0.02, verbose=False)
+    cfg = StoppedRolloutConfig(N=Ne, delta_t=0.02)
+    vg = s._value_grad_fn()
+    vg_T = s._value_grad_fn_T()
+    key = jax.random.PRNGKey(5)
+    kx, kr = jax.random.split(key)
+    from pspde.rollout.sampling import sample_domain
+    X0 = sample_domain(kx, p.geometry, Ke, d)
+    Y0 = s._v_fn(s.params)(X0)
+    t0 = jnp.zeros((Ke,))
+
+    ref = stopped_rollout(cfg, p, vg, s.params, X0, Y0, t0, kr,
+                          inside_fn(p.geometry), v_ref=p.v_ref)
+    out = stopped_rollout_dk(cfg, p, vg_T, s.params, X0.T, Y0, t0, kr,
+                             inside_fn_cols(p.geometry),
+                             v_ref_T=p.v_ref_T, noise_layout="kd")
+    np.testing.assert_allclose(out.X, ref.X, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(out.stopped, ref.stopped)
+    np.testing.assert_allclose(out.hitting, ref.hitting)
+    np.testing.assert_allclose(out.v_l2, ref.v_l2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(out.active_count, ref.active_count)
+
+    v_fn = s._v_fn  # diffusion loss: (V(X_tau) - Y)^2 mean
+
+    def loss_kd(params):
+        o = stopped_rollout(cfg, p, vg, params, X0, Y0, t0, kr,
+                            inside_fn(p.geometry))
+        return jnp.mean((v_fn(params)(o.X) - o.Y) ** 2)
+
+    def loss_dk(params):
+        o = stopped_rollout_dk(cfg, p, vg_T, params, X0.T, Y0, t0, kr,
+                               inside_fn_cols(p.geometry),
+                               noise_layout="kd")
+        return jnp.mean((v_fn(params)(o.X) - o.Y) ** 2)
+
+    g1 = jax.grad(loss_kd)(s.params)
+    g2 = jax.grad(loss_dk)(s.params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
+
+
+def test_elliptic_solver_layout_dk_trains():
+    """EllipticSolver(layout='dk', rng_impl='rbg') resolves 'dk' and the
+    in-path v-L2 error falls on the d=5 manufactured problem."""
+    from pspde.problems import ExponentialOnBallNonlinearSin
+    from pspde.solvers import EllipticSolver
+    p = ExponentialOnBallNonlinearSin(d=5, alpha=0.5)
+    s = EllipticSolver(p, "dk-ell", loss_method="diffusion", K=128, N=12,
+                       delta_t=0.02, lr=3e-3, L=200, verbose=False,
+                       layout="dk", rng_impl="rbg")
+    s.train()
+    assert s.resolved_layout == "dk"
+    assert s.V_L2_log[-1] < 0.5 * s.V_L2_log[0]
+
+
+def test_general_solver_layout_dk_trains():
+    """GeneralSolver(layout='dk') on the parabolic sin problem: resolves
+    'dk' (time-stopping path) and trains."""
+    from pspde.problems import ExponentialOnSphereNonlinearParabolic
+    from pspde.solvers import GeneralSolver
+    p = ExponentialOnSphereNonlinearParabolic(d=4, T=0.2, alpha=0.5)
+    s = GeneralSolver(p, "dk-gen", loss_method="diffusion", K=128, N=10,
+                      delta_t=0.02, lr=3e-3, L=200, verbose=False,
+                      layout="dk")
+    s.train()
+    assert s.resolved_layout == "dk"
+    assert np.isfinite(s.loss_log).all()
+    assert s.loss_log[-1] < 0.5 * s.loss_log[0]
+
+
+def test_elliptic_layout_dk_falls_back_without_protocol():
+    """A problem without the transposed protocol falls back to 'kd' with
+    a warning (never silently)."""
+    import warnings
+    from pspde.problems import Helmholtz
+    from pspde.solvers import EllipticSolver
+    p = Helmholtz()
+    s = EllipticSolver(p, "dk-fb", loss_method="diffusion", K=32, N=4,
+                       delta_t=0.02, L=2, verbose=False, layout="dk")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s._build_step()
+    assert s.resolved_layout == "kd"
+    assert any("fell back" in str(x.message) for x in w), w
