@@ -404,11 +404,15 @@ def make_fused_train_rollout(
     _normals = (_normals_from_bits_erfinv if rng == "erfinv"
                 else _normals_from_bits)
     have_u = u_tab is not None
-    # (N, d, 1): the reference-control row for step n is fetched by a
-    # leading-dim dynamic index (Mosaic cannot dynamically slice the lane
-    # dimension, so a (d, N) lane-indexed table does not lower)
-    u_tab3 = (jnp.asarray(u_tab, jnp.float32).reshape(N, d, 1) if have_u
-              else jnp.zeros((N, d, 1), jnp.float32))
+    # (N, d): the reference-control row for step n is fetched by a
+    # leading-dim dynamic slice (Mosaic cannot dynamically slice the lane
+    # dimension).  Kept as a ROW, not a (d, 1) column: a size-1 lane dim
+    # pads to 128 in VMEM, so the column table costs N*d*128*4 bytes
+    # (102 MB at the d=1000/N=200 BASELINE config — the round-3 Mosaic
+    # failure); the row table is N*d*4 and the u_l2 cross term becomes a
+    # (1, d) x (d, tile) MXU matvec (see step_math).
+    u_tab2 = (jnp.asarray(u_tab, jnp.float32).reshape(N, d) if have_u
+              else jnp.zeros((N, d), jnp.float32))
     # shape/dtype only: concrete example leaves may carry a NamedSharding
     # (e.g. tp-sharded params), which make_jaxpr would bake into the traced
     # avals and clash with the shard_map (Manual) mesh of the sharded
@@ -435,13 +439,21 @@ def make_fused_train_rollout(
     if unroll < 1 or N % unroll:
         raise ValueError(f"unroll={unroll} must divide N={N}")
     # Scoped-VMEM calibration: the compile-helper OOM-crashes (not a
-    # catchable ValueError) when the unrolled step's live (d, tile)
-    # buffer set exceeds Mosaic's ~16 MiB scoped budget.  Measured fit
-    # boundary on v5e: d=100, tile=4096, unroll=2 compiles; u4+ at
-    # tile=4096 and d=300 at tile=4096 do not.  Cap d*tile*unroll at
-    # that measured product (lane dim kept a multiple of 128).
-    cal = 100 * 4096 * 2
-    max_tile = max(128, (cal // max(1, d * unroll)) // 128 * 128)
+    # catchable ValueError... on this host it surfaces as an HTTP-500
+    # JaxRuntimeError from the remote compile helper) when the unrolled
+    # step's live (d, tile) buffer set exceeds Mosaic's ~16 MiB scoped
+    # budget.  Measured fit boundary on v5e (round 4, after the u_tab
+    # row-table fix removed the spurious 102 MB column buffer):
+    #   compiles: d=100/t4096/u2 (409600), d=300/t1664/u2 (499200),
+    #             d=1000/t384/u2 (384000), d=1000/t512/u1 (512000)
+    #   crashes:  d=100/t8192/u2, d=100/t4096/u4, d=300/t4096/u2,
+    #             d=1000/t512/u2 (512000), d=1000/t768/u1 (768000)
+    # Model: d * tile * ceil(unroll / 2) <= 499200 — software
+    # pipelining overlaps unroll pairs, so u1 and u2 share a live set
+    # while u4 doubles it.  (Lane dim kept a multiple of 128.)
+    cal = 499_200
+    max_tile = max(
+        128, (cal // max(1, d * ((unroll + 1) // 2))) // 128 * 128)
     if tile > max_tile:
         if tile != 4096:  # an explicitly requested tile is being capped
             import warnings
@@ -464,7 +476,7 @@ def make_fused_train_rollout(
     Kp = n_tiles * tile
 
     # ---- step math (traced, then closure-converted into the kernels) ----
-    def step_math(XT, t, u_col, xi, *params):
+    def step_math(XT, t, u_row, xi, *params):
         T_ = XT.shape[1]
         tX = jnp.concatenate(
             [jnp.zeros((1, T_), jnp.float32) + t, XT], axis=0)
@@ -491,13 +503,18 @@ def make_fused_train_rollout(
                 kl = kl - Zxi * sq_dt
         ul2 = jnp.zeros_like(a)
         if have_u:
-            err = -lax.stop_gradient(Z) - u_col
-            ul2 = jnp.sum(err * err, axis=0, keepdims=True) * dt
+            # |−Z − u|² expanded so the reference control stays a (1, d)
+            # row: Σ_e(Z+u)² = ΣZ² + 2·(u @ Z) + |u|² — the cross term is
+            # an MXU matvec, no (d, 1) column relayout needed
+            Zs = lax.stop_gradient(Z)
+            ul2 = (jnp.sum(Zs * Zs, axis=0, keepdims=True)
+                   + 2.0 * jnp.dot(u_row, Zs)
+                   + jnp.sum(u_row * u_row)) * dt
         return X_new, a, kl, ul2
 
-    def bwd_math(XT, t, u_col, xi, gy, gkl, *params):
+    def bwd_math(XT, t, u_row, xi, gy, gkl, *params):
         def of_params(*ps):
-            X_new, a, kl, _ = step_math(XT, t, u_col, xi, *ps)
+            X_new, a, kl, _ = step_math(XT, t, u_row, xi, *ps)
             return X_new, a, kl
         (X_new, _, _), pull = jax.vjp(of_params, *params)
         grads = pull((jnp.zeros_like(XT), gy, gkl))
@@ -507,7 +524,7 @@ def make_fused_train_rollout(
 
     X_ex = jax.ShapeDtypeStruct((d, tile), jnp.float32)
     t_ex = jax.ShapeDtypeStruct((), jnp.float32)
-    u_ex = jax.ShapeDtypeStruct((d, 1), jnp.float32)
+    u_ex = jax.ShapeDtypeStruct((1, d), jnp.float32)
     g_ex = jax.ShapeDtypeStruct((1, tile), jnp.float32)
 
     def _closure_convert(fn, *example):
@@ -550,7 +567,7 @@ def make_fused_train_rollout(
     # ------------------------------------------------------------- forward
     def _fwd(leaves, seed):
         consts2d, cshapes = _canon(list(leaves) + list(fwd_consts))
-        inputs = consts2d + [u_tab3, X0col]
+        inputs = consts2d + [u_tab2, X0col]
         if use_host_noise:
             inputs.append(hn)
         n_in = len(inputs)
@@ -576,10 +593,10 @@ def make_fused_train_rollout(
                     t = n.astype(jnp.float32) * dt
                     xi = (noise_ref[n] if use_host_noise
                           else _normals((d, tile)))
-                    u_col = u_ref[n]
+                    u_row = u_ref[pl.ds(n, 1), :]
                     pvals = extra[:n_leaves]
                     cvals = extra[n_leaves:]
-                    X, a, kl, ul2 = fwd_open(*cvals, X, t, u_col, xi,
+                    X, a, kl, ul2 = fwd_open(*cvals, X, t, u_row, xi,
                                              *pvals)
                     aY, aK, aU = aY + a, aK + kl, aU + ul2
                 return X, aY, aK, aU
@@ -622,7 +639,7 @@ def make_fused_train_rollout(
             n_tiles, tile)
         gK2 = jnp.pad(gKL.astype(jnp.float32), (0, Kp - K)).reshape(
             n_tiles, tile)
-        inputs = consts2d + [u_tab3, X0col, gY2, gK2]
+        inputs = consts2d + [u_tab2, X0col, gY2, gK2]
         if use_host_noise:
             inputs.append(hn)
         n_in = len(inputs)
@@ -657,10 +674,10 @@ def make_fused_train_rollout(
                     t = n.astype(jnp.float32) * dt
                     xi = (noise_ref[n] if use_host_noise
                           else _normals((d, tile)))
-                    u_col = u_ref[n]
+                    u_row = u_ref[pl.ds(n, 1), :]
                     pvals = extra[:n_leaves]
                     cvals = extra[n_leaves:]
-                    outs = bwd_open(*cvals, X, t, u_col, xi, gy, gk,
+                    outs = bwd_open(*cvals, X, t, u_row, xi, gy, gk,
                                     *pvals)
                     X = outs[0]
                     gacc = tuple(

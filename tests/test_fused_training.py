@@ -296,10 +296,10 @@ def test_solver_fused_train_mode_falls_back_off_tpu():
 
 
 def test_fused_train_kernel_tile_calibration_cap(setup):
-    """The scoped-VMEM calibration caps d*tile*unroll at the measured
-    v5e fit boundary (d=100, tile=4096, unroll=2) so large-d configs
-    auto-shrink instead of crashing the TPU compile helper; explicit
-    smaller tiles pass through untouched."""
+    """The scoped-VMEM calibration caps d * tile * ceil(unroll/2) at the
+    measured v5e fit boundary (499200, round-4 probe grid) so large-d
+    configs auto-shrink instead of crashing the TPU compile helper;
+    explicit smaller tiles pass through untouched."""
     p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
     from pspde.ansatz.transposed import make_transposed_apply
     from pspde.problems import LLGC
@@ -322,8 +322,17 @@ def test_fused_train_kernel_tile_calibration_cap(setup):
                      early_stopping_time=None)
     lv300, zT300 = make_transposed_apply(s300.z_net, s300.params["z"])
     r = make_fused_train_rollout(p300, zT300, lv300, K, N, DT, **kw)
-    assert r.tile * 300 * r.unroll <= 100 * 4096 * 2
+    assert r.tile * 300 * ((r.unroll + 1) // 2) <= 499_200
     assert r.tile % 128 == 0
+    # d=1000 (the round-3 Mosaic wall): now admits a nonzero tile
+    p1k = LLGC(d=1000, T=1.0)
+    s1k = HJBSolver("cap1k", p1k, lr=1e-2, L=1, K=K, delta_t=DT,
+                    time_approx="inner", loss_method="log-variance",
+                    detach_forward=True, learn_Y_0=True, verbose=False,
+                    early_stopping_time=None)
+    lv1k, zT1k = make_transposed_apply(s1k.z_net, s1k.params["z"])
+    r = make_fused_train_rollout(p1k, zT1k, lv1k, K, N, DT, **kw)
+    assert r.tile == 384 and r.unroll == 2  # the measured-good config
     # solver kwargs plumb through to the kernel
     s2 = HJBSolver("ft-tile", LLGC(d=4, T=0.5), lr=1e-2, L=2, K=32,
                    delta_t=0.1, time_approx="inner",
