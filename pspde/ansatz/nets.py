@@ -275,6 +275,47 @@ class LinearLQ(nn.Module):
         return x @ gain.T
 
 
+class LinearLQTime(nn.Module):
+    """Time-conditioned LQ-structured linear control for
+    ``time_approx='inner'`` (input ``[t, x]``):
+
+        u(t, x) = Q^{-1} B^T F_hat(t) x,
+        F_hat(t) = sum_j T_j(2 t / T - 1) F_j
+
+    with a Chebyshev time basis over ``degree + 1`` learnable (d, d)
+    matrices, zero-initialized.  The exact LQGC Riccati control
+    u* = -Q^{-1} B^T F(t) x (problems.py:169-175) is LINEAR in x with a
+    smooth (Riccati) time dependence, so this ansatz contains it up to
+    the Chebyshev interpolation error of F(t) — unlike the reference's
+    per-step ``Linear`` (function_space.py:37-48, one independent F per
+    time step, each seeing 1/N of the loss signal), every step trains
+    the same (degree + 1) matrices.  No reference counterpart: this is
+    the shared-across-steps LQ ansatz the d=100 BASELINE config needs.
+    """
+
+    B: jnp.ndarray
+    Q: jnp.ndarray
+    T: float
+    degree: int = 8
+
+    @nn.compact
+    def __call__(self, tx):
+        d = self.B.shape[0]
+        t, x = tx[:, :1], tx[:, 1:]
+        s = 2.0 * t / self.T - 1.0
+        feats = [jnp.ones_like(s), s]
+        for _ in range(self.degree - 1):
+            feats.append(2.0 * s * feats[-1] - feats[-2])
+        phi = jnp.concatenate(feats[: self.degree + 1], axis=1)  # (K, J)
+        F = self.param("F", nn.initializers.zeros,
+                       (self.degree + 1, d, d))
+        gain = jnp.linalg.inv(self.Q) @ self.B.T               # (d, d)
+        # J matmuls of (K, d) x (d, d) — MXU-friendly; the per-row basis
+        # contraction is O(K J d)
+        xF = jnp.einsum("ke,jde->kjd", x, F)
+        return jnp.einsum("kj,kjd->kd", phi, xF) @ gain.T
+
+
 class Affine(nn.Module):
     """Zero-initialized affine map A x + b (function_space.py:51-63)."""
 

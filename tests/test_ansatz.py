@@ -153,3 +153,79 @@ def test_transposed_apply_matches_row_major():
         leaves, apply_T = make_transposed_apply(module, params)
         out2 = apply_T(leaves, x.T).T
         np.testing.assert_allclose(out2, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_linear_lq_time_represents_riccati_control():
+    """LinearLQTime with F_j set to the Chebyshev LSQ fit of -F(t)
+    reproduces the exact LQGC Riccati control u* = -Q^{-1} B^T F(t) x
+    to the basis interpolation error (VERDICT r3 item 3: the exact
+    control is linear in x, problems.py:169-175)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from numpy.polynomial import chebyshev as C
+    from pspde.ansatz import LinearLQTime
+    from pspde.problems import LQGC
+
+    d, T = 6, 1.0
+    p = LQGC(d=d, T=T, delta_t=0.01)
+    deg = 8
+    # fit each entry of -F(t) on the Riccati grid in Chebyshev basis
+    ts = np.arange(p.N + 1) * p.delta_t
+    s = 2.0 * ts / T - 1.0
+    Ft = -np.asarray(p._F_np)                     # (N+1, d, d)
+    coef = C.chebfit(s, Ft.reshape(p.N + 1, -1), deg)  # (deg+1, d*d)
+    m = LinearLQTime(B=p.B, Q=p.Q, T=T, degree=deg)
+    params = {"params": {"F": jnp.asarray(
+        coef.reshape(deg + 1, d, d), jnp.float32)}}
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (64, d))
+    u_ref = p.u_ref_fn(ts)
+    for i in [0, p.N // 3, p.N - 1]:
+        tx = jnp.concatenate(
+            [jnp.full((64, 1), ts[i], jnp.float32), x], axis=1)
+        out = m.apply(params, tx)
+        ref = u_ref(x, i)
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=5e-3)
+
+    # zero init => zero control (safe adaptive-forward start)
+    p0 = m.init(key, tx)
+    np.testing.assert_array_equal(m.apply(p0, tx), 0.0)
+
+
+def test_control_test_error_same_state_unbiased():
+    """control_test_error (eval/test_error.py) evaluates u_hat and u* at
+    the SAME X_n, so the exact Riccati control reads ~0 where the
+    reference-semantics u_L2 diagnostic has an O(sqrt(dt)) floor
+    (measured 0.165 at dt=0.01, RESULTS.md round 4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from numpy.polynomial import chebyshev as C
+    from pspde.ansatz import LinearLQTime
+    from pspde.eval.test_error import control_test_error
+    from pspde.problems import LQGC
+    from pspde.solvers import HJBSolver
+
+    d = 4
+    p = LQGC(d=d, T=1.0, delta_t=0.01)
+    ts = np.arange(p.N + 1) * p.delta_t
+    coef = C.chebfit(2 * ts / p.T - 1,
+                     np.asarray(p._F_np).reshape(p.N + 1, -1), 8)
+    net = LinearLQTime(B=p.B, Q=p.Q, T=p.T, degree=8)
+    s = HJBSolver("ct", p, seed=0, L=1, lr=0.0, delta_t=0.01, K=256,
+                  time_approx="inner", control_net=net, verbose=False,
+                  loss_method="log-variance", detach_forward=True,
+                  adaptive_forward_process=True, remat=True,
+                  early_stopping_time=None)
+    # the solver metric convention is u_hat = -Z, so Z = +Q^-1 B^T F x
+    s.params["z"] = {"params": {"F": jnp.asarray(
+        coef.reshape(9, d, d), jnp.float32)}}
+    rel = control_test_error(p, s, K=2048)
+    assert rel < 5e-3, rel
+    # a wrong control reads its true error, not the floor
+    s.params["z"] = {"params": {"F": jnp.asarray(
+        0.5 * coef.reshape(9, d, d), jnp.float32)}}
+    rel_half = control_test_error(p, s, K=2048)
+    assert 0.3 < rel_half < 0.7, rel_half
