@@ -133,32 +133,50 @@ def config_4(args):
 
     # (a per-step LinearLQ outer ansatz — the reference's d=10 protocol —
     # was measured to crawl at d=100: each of the N=100 step-nets sees
-    # 1/N of the loss signal; the shared inner tanh-skip net wins)
+    # 1/N of the loss signal.  Round 4: the winning recipe is the
+    # shared-across-steps LinearLQTime — a Chebyshev-in-t family of
+    # (d, d) gains that CONTAINS the exact Riccati control — trained
+    # with relative entropy + full backprop; the tanh-skip DenseNet leg
+    # is kept as the generic-ansatz comparison.)
+    #
+    # Metric note (measured round 4, RESULTS.md): the training-loop
+    # u_L2 follows the reference's semantics (solver.py:491-494: u_true
+    # evaluated at the post-step state) and has an O(sqrt(dt)) floor of
+    # rel 0.165 at dt=0.01 — the EXACT control reads 0.165 under it.
+    # The unbiased same-state metric (eval.control_test_error) is the
+    # one with a meaningful <= 5e-2 target.
+    from pspde.ansatz import LinearLQTime
+    from pspde.eval.test_error import control_test_error
+
     legs = [
-        ("log-variance",
-         dict(loss_method="log-variance", detach_forward=True,
-              learn_Y_0=True, L=4 * L,
-              lr=optax.cosine_decay_schedule(3e-3, 4 * L, alpha=1e-3))),
-        ("relative-entropy",
+        ("lqtime-relative-entropy",
+         LinearLQTime(B=p.B, Q=p.Q, T=p.T, degree=8),
+         dict(loss_method="relative_entropy", detach_forward=False,
+              learn_Y_0=False, L=L,
+              lr=optax.cosine_decay_schedule(1e-2, L, alpha=1e-4))),
+        ("densenet-relative-entropy",
+         DenseNetTanh(d_out=d, arch=(d + 20, d)),
          dict(loss_method="relative_entropy", detach_forward=False,
               learn_Y_0=False,
               lr=optax.cosine_decay_schedule(3e-3, 2 * L, alpha=1e-3),
               L=2 * L)),
     ]
-    for name, kw in legs:
+    for name, net, kw in legs:
         s = HJBSolver(
             f"lqgc-d100-{name}", p, seed=args.seed,
             delta_t=0.01, K=16384, time_approx="inner",
-            control_net=DenseNetTanh(d_out=d, arch=(d + 20, d)),
+            control_net=net,
             adaptive_forward_process=True, remat=True,
             early_stopping_time=None,
             print_every=max(kw["L"] // 20, 1), **kw)
         t0 = time.time()
         s.train()
         rel = (s.u_L2_loss[-1] / u_star_l2) ** 0.5
+        rel_ss = control_test_error(p, s, K=4096)
         print(f"config 4 (LQGC d=100, {name}): u_L2 "
               f"{s.u_L2_loss[0]:.3f} -> {s.u_L2_loss[-1]:.4f} "
-              f"(rel vs |u*| {rel:.2e}) in {time.time() - t0:.0f} s")
+              f"(ref-semantics rel {rel:.2e}, metric floor 1.65e-1; "
+              f"same-state rel {rel_ss:.2e}) in {time.time() - t0:.0f} s")
         models.append(s)
     return models
 

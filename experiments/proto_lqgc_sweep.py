@@ -31,6 +31,62 @@ import optax
 from pspde.utils import enable_compilation_cache
 
 
+def metric_floor(args):
+    """Measure the reference-semantics u_L2 metric's own floor: run the
+    EXACT Riccati control (Chebyshev-fit LinearLQTime params) through
+    the unchanged training-loop diagnostic.  The reference evaluates
+    u_true at the post-step X_{n+1} while the ansatz is evaluated at
+    X_n (solver.py:491-494), so a state-dependent u* has an
+    O(sqrt(dt)) floor.  Measured (round 4): rel 0.1652 (d=10, dt=1e-2),
+    0.0826 (d=10, dt=2.5e-3 — the sqrt(dt) signature), 0.1655 (d=100,
+    dt=1e-2).  The same-state metric (eval.control_test_error) reads
+    0.002 for the same exact control."""
+    import jax.numpy as jnp
+    from numpy.polynomial import chebyshev as C
+
+    import numpy as np
+    from pspde.ansatz import LinearLQ, LinearLQTime
+    from pspde.eval.test_error import control_test_error
+    from pspde.problems import LQGC
+    from pspde.solvers import HJBSolver
+
+    for d, dt in ([(10, 0.01)] if args.smoke
+                  else [(10, 0.01), (10, 0.0025), (100, 0.01)]):
+        p = LQGC(d=d, T=1.0, delta_t=dt)
+        deg = 8
+        ts = np.arange(p.N + 1) * p.delta_t
+        # solver convention u_hat = -Z  =>  exact net outputs
+        # Z = +Q^-1 B^T F x
+        coef = C.chebfit(2.0 * ts / p.T - 1.0,
+                         np.asarray(p._F_np).reshape(p.N + 1, -1), deg)
+        exact = {"params": {"F": jnp.asarray(
+            coef.reshape(deg + 1, d, d), jnp.float32)}}
+        s0 = HJBSolver("norm", p, seed=1, L=1, lr=0.0, delta_t=dt,
+                       K=4096, time_approx="outer",
+                       loss_method="log-variance", detach_forward=True,
+                       verbose=False,
+                       control_net=LinearLQ(B=p.B, Q=p.Q, init_scale=0.0),
+                       adaptive_forward_process=True, remat=True,
+                       early_stopping_time=None)
+        s0.train()
+        s1 = HJBSolver("exact", p, seed=1, L=1, lr=0.0, delta_t=dt,
+                       K=4096, time_approx="inner",
+                       loss_method="log-variance", detach_forward=True,
+                       verbose=False,
+                       control_net=LinearLQTime(B=p.B, Q=p.Q, T=p.T,
+                                                degree=deg),
+                       adaptive_forward_process=True, remat=True,
+                       early_stopping_time=None)
+        s1.params["z"] = exact
+        s1.train()
+        rel = (s1.u_L2_loss[0] / s0.u_L2_loss[0]) ** 0.5
+        rel_ss = control_test_error(p, s1, K=4096)
+        print(json.dumps({"d": d, "dt": dt,
+                          "exact_control_ref_metric_rel": round(rel, 4),
+                          "exact_control_same_state_rel":
+                          round(rel_ss, 4)}), flush=True)
+
+
 def u_star_norm(p, args, K=4096):
     """int E|u*(t, X_t)|^2 dt along zero-controlled paths."""
     from pspde.ansatz import LinearLQ
@@ -69,8 +125,14 @@ def main():
     ap.add_argument("--L", type=int, default=3000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--d", type=int, default=100)
+    ap.add_argument("--floor", action="store_true",
+                    help="measure the u_L2 metric's exact-control floor "
+                         "instead of running the training sweep")
     args = ap.parse_args()
     enable_compilation_cache()
+    if args.floor:
+        metric_floor(args)
+        return
 
     from pspde.ansatz import DenseNetTanh, LinearLQTime
     from pspde.problems import LQGC

@@ -264,13 +264,20 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
                 for j in range(unroll):
                     n = n0 * unroll + j
                     t = n.astype(jnp.float32) * dt
-                    xi = _normals_from_bits_erfinv((d, tile))
+                    if stage == "full_nonoise":
+                        # the decisive control: the full forward with
+                        # generation removed (a step-dependent constant
+                        # the compiler cannot hoist the work of)
+                        xi = jnp.full((d, tile), 0.01, jnp.float32) * (
+                            1.0 + 1e-6 * n.astype(jnp.float32))
+                    else:
+                        xi = _normals_from_bits_erfinv((d, tile))
                     if stage == "noise":
                         acc = acc + jnp.sum(xi, axis=0, keepdims=True)
                         continue
                     c = jnp.zeros((d, tile), jnp.float32)
                     Z = None
-                    if stage in ("net", "full"):
+                    if stage in ("net", "full", "full_nonoise"):
                         tX = jnp.concatenate(
                             [jnp.zeros((1, tile), jnp.float32) + t, X],
                             axis=0)
@@ -280,7 +287,7 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
                          + sig.apply_cols(xi) * sq_dt)
                     if stage == "net":
                         acc = acc + jnp.sum(Z * xi, axis=0, keepdims=True)
-                    if stage == "full":
+                    if stage in ("full", "full_nonoise"):
                         Zc = jnp.sum(Z * c, axis=0, keepdims=True)
                         Zxi = jnp.sum(Z * xi, axis=0, keepdims=True)
                         hv = problem.h_T(
@@ -313,7 +320,8 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
     # forward).  Three interleaved rounds, keep the best rate per stage.
     out, fns = {}, {}
     s = jnp.asarray([11], jnp.int32)
-    for stage in ("noise", "euler", "net", "full"):
+    for stage in ("noise", "euler", "net", "full",
+                  "full_nonoise"):
         try:
             fns[stage] = make(stage)
             jax.block_until_ready(fns[stage](s))
