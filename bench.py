@@ -112,9 +112,11 @@ def measure(dtype, K=131072, d=D, steps_per_call=20, n_chunks=3,
     return res
 
 
-def measure_fwd_envelope(K=131072, n_reps=10):
+def measure_fwd_envelope(K=131072, n_reps=10, rng="erfinv"):
     """Forward-only throughput of the fused training kernel (the replay
-    envelope the custom-VJP backward is bounded by)."""
+    envelope the custom-VJP backward is bounded by).  ``rng`` matches
+    the winning mode's noise generator so the envelope bounds the right
+    kernel."""
     import numpy as np
     from pspde.ansatz.transposed import make_transposed_apply
     from pspde.problems import LLGC
@@ -129,6 +131,7 @@ def measure_fwd_envelope(K=131072, n_reps=10):
     leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
     run = make_fused_train_rollout(
         p, z_apply_T, leaves_ex, K, s.N, s.delta_t, adaptive_forward=True,
+        rng=rng,
         u_tab=p.u_ref_table(np.arange(s.N) * s.delta_t))
     fwd = jax.jit(lambda lv, sd: run(lv, sd).Y.sum())
     leaves = tuple(jax.tree.leaves(s.params["z"]))
@@ -176,6 +179,8 @@ def main():
         jnp.float32, rng_impl="rbg", layout="dk"))
     attempt("f32_fused_train", lambda: measure(
         jnp.float32, rollout_mode="fused_train"))
+    attempt("f32_fused_binom", lambda: measure(
+        jnp.float32, rollout_mode="fused_train", fused_rng="binom"))
     attempt("f32_fused_legacy", lambda: measure(
         jnp.float32, rollout_mode="fused"))
 
@@ -195,6 +200,8 @@ def main():
         "bf16_scan_dk_rbg": dict(rng_impl="rbg", layout="dk"),
         "f32_scan_dk_rbg": dict(rng_impl="rbg", layout="dk"),
         "f32_fused_train": dict(rollout_mode="fused_train"),
+        "f32_fused_binom": dict(rollout_mode="fused_train",
+                                fused_rng="binom"),
         "f32_fused_legacy": dict(rollout_mode="fused"),
     }[best_name]
     sweep_dtype = jnp.bfloat16 if best_name.startswith("bf16") else \
@@ -211,7 +218,8 @@ def main():
 
     fwd_envelope = None
     try:
-        fwd_envelope = measure_fwd_envelope()
+        fwd_envelope = measure_fwd_envelope(
+            rng="binom" if "binom" in best_name else "erfinv")
     except Exception as e:
         errors["fwd_envelope"] = repr(e)[:300]
 

@@ -72,7 +72,7 @@ class HJBSolver:
                  remat=None, mesh=None, dtype=jnp.float32,
                  rollout_mode="scan", steps_per_call=1,
                  rng_impl="threefry", layout="kd", antithetic=False,
-                 fused_tile=None, fused_unroll=None):
+                 fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -168,6 +168,11 @@ class HJBSolver:
         # unroll 2 for even N — rollout/kernels.py)
         self.fused_tile = fused_tile
         self.fused_unroll = fused_unroll
+        # fused_rng='binom' swaps the fused kernel's erf_inv quantile
+        # map for moment-matched popcount-binomial noise (training-only;
+        # kernels.py:_normals_from_bits_binom) — the transform is ~48%
+        # of the fused forward's time (measured round 4)
+        self.fused_rng = fused_rng
 
         # -- ansatz ---------------------------------------------------------
         # rng_impl: 'threefry' (default; cross-backend reproducible,
@@ -406,6 +411,8 @@ class HJBSolver:
                 fused_kw["tile"] = int(self.fused_tile)
             if self.fused_unroll is not None:
                 fused_kw["unroll"] = int(self.fused_unroll)
+            if self.fused_rng is not None:
+                fused_kw["rng"] = str(self.fused_rng)
             if self.mesh is not None:
                 from ..rollout.kernels import (
                     make_fused_train_rollout_sharded)

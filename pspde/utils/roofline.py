@@ -48,7 +48,7 @@ from jax import lax
 import numpy as np
 
 __all__ = ["vpu_fma_rate", "prng_normals_rate", "count_vpu_work",
-           "fused_train_vpu_roofline"]
+           "fused_ablation_rates", "fused_train_vpu_roofline"]
 
 
 def _marginal_rate(build_f, arg, P, work_per_pass, reps=5, outer=3):
@@ -270,6 +270,20 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
                         # the compiler cannot hoist the work of)
                         xi = jnp.full((d, tile), 0.01, jnp.float32) * (
                             1.0 + 1e-6 * n.astype(jnp.float32))
+                    elif stage == "full_rawbits":
+                        # bits drawn but the erfinv transform skipped:
+                        # attributes the noise cost between generation
+                        # and transform
+                        from jax.experimental.pallas import tpu as pt_
+                        b = pt_.bitcast(
+                            pt_.prng_random_bits((d, tile)), jnp.uint32)
+                        xi = pt_.bitcast(
+                            (b >> 9) | jnp.uint32(0x3F800000),
+                            jnp.float32) - 1.5
+                    elif stage == "full_binom":
+                        from ..rollout.kernels import \
+                            _normals_from_bits_binom
+                        xi = _normals_from_bits_binom((d, tile))
                     else:
                         xi = _normals_from_bits_erfinv((d, tile))
                     if stage == "noise":
@@ -277,7 +291,8 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
                         continue
                     c = jnp.zeros((d, tile), jnp.float32)
                     Z = None
-                    if stage in ("net", "full", "full_nonoise"):
+                    if stage in ("net", "full", "full_nonoise",
+                                 "full_rawbits", "full_binom"):
                         tX = jnp.concatenate(
                             [jnp.zeros((1, tile), jnp.float32) + t, X],
                             axis=0)
@@ -287,7 +302,8 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
                          + sig.apply_cols(xi) * sq_dt)
                     if stage == "net":
                         acc = acc + jnp.sum(Z * xi, axis=0, keepdims=True)
-                    if stage in ("full", "full_nonoise"):
+                    if stage in ("full", "full_nonoise",
+                                  "full_rawbits", "full_binom"):
                         Zc = jnp.sum(Z * c, axis=0, keepdims=True)
                         Zxi = jnp.sum(Z * xi, axis=0, keepdims=True)
                         hv = problem.h_T(
@@ -321,7 +337,7 @@ def fused_ablation_rates(problem, solver, *, K=131072, tile=4096,
     out, fns = {}, {}
     s = jnp.asarray([11], jnp.int32)
     for stage in ("noise", "euler", "net", "full",
-                  "full_nonoise"):
+                  "full_nonoise", "full_rawbits", "full_binom"):
         try:
             fns[stage] = make(stage)
             jax.block_until_ready(fns[stage](s))
