@@ -194,9 +194,11 @@ def config_5(args):
         adaptive_forward_process=True, layout="dk", rng_impl="rbg",
         # round 4: the u_tab row-table fix unlocked the fused training
         # kernel at d=1000 (tile 384, unroll 2): 26.7M path-steps/s at
-        # K=1e5 vs the r3 dk+rbg scan's 8.6M (proto_fused_d1000.py);
-        # off-TPU (and in --smoke CPU runs) it falls back to the scan
-        rollout_mode="fused_train",
+        # K=1e5 vs the r3 dk+rbg scan's 8.6M (proto_fused_d1000.py),
+        # and fused_rng='binom' (moment-matched popcount noise,
+        # kernels.py) lifts it to 49.6M; off-TPU (and in --smoke CPU
+        # runs) it falls back to the scan
+        rollout_mode="fused_train", fused_rng="binom",
         remat=True, early_stopping_time=None, steps_per_call=1,
         print_every=max(L // 20, 1))
     # memory note (measured round 3): at (N, d, K) = (200, 1000, 1e5)

@@ -35,6 +35,15 @@ What the round-4 measurement campaign established (all on-chip):
     measurably UNDERESTIMATES the machine — it is kept for the work
     decomposition, not as the headline roofline.
 
+  * Having PROVEN the kernel sits at the noise speed of light, the
+    round-4 follow-up LOWERED the roofline itself: the in-situ
+    attribution stages (full_rawbits / full_binom) showed the erf_inv
+    transform — not bit generation — is ~48% of the forward, and the
+    moment-matched binomial generator (kernels.py:
+    _normals_from_bits_binom, ``fused_rng='binom'``) removed it:
+    d=100 train 232.5 -> 362.5M path-steps/s, again ~95% of the (new,
+    cheaper) replay bound.
+
 No reference counterpart (the reference has no profiling at all,
 SURVEY §5.1).
 """
