@@ -54,6 +54,20 @@ class FokkerPlanckEigen(Problem):
     def v_ref(self, x):
         return jnp.exp(-jnp.sin(jnp.sum(self.c * jnp.cos(x), axis=-1)))
 
+    # -- transposed-coefficient protocol (base.py), batch in columns ----
+    def b_T(self, xT):
+        s = jnp.sum(self.c[:, None] * jnp.cos(xT), axis=0, keepdims=True)
+        return -jnp.cos(s) * self.c[:, None] * jnp.sin(xT)
+
+    def h_T(self, xT, y, zT):
+        s = jnp.sum(self.c[:, None] * jnp.cos(xT), axis=0)
+        return y * (-jnp.sum(self.c[:, None] ** 2 * jnp.sin(xT) ** 2,
+                             axis=0) * jnp.sin(s) - jnp.cos(s) * s)
+
+    def v_ref_T(self, xT):
+        return jnp.exp(-jnp.sin(jnp.sum(self.c[:, None] * jnp.cos(xT),
+                                        axis=0)))
+
 
 class SchrodingerEigen(Problem):
     """Nonlinear Schroedinger eigenproblem (Schroedinger notebooks cell 5).
@@ -95,3 +109,18 @@ class SchrodingerEigen(Problem):
     def v_ref(self, x):
         return (1.0 / self.c
                 * jnp.exp(1.0 / self.d * jnp.sum(jnp.cos(x), axis=-1)))
+
+    # -- transposed-coefficient protocol (base.py), batch in columns ----
+    def b_T(self, xT):
+        return jnp.zeros_like(xT)
+
+    def h_T(self, xT, y, zT):
+        pot = (-1.0 / self.c ** 2
+               * jnp.exp(2.0 / self.d * jnp.sum(jnp.cos(xT), axis=0))
+               + jnp.sum(jnp.sin(xT) ** 2 / self.d ** 2
+                         - jnp.cos(xT) / self.d, axis=0) - 3.0)
+        return -y ** 3 - y * pot
+
+    def v_ref_T(self, xT):
+        return (1.0 / self.c
+                * jnp.exp(1.0 / self.d * jnp.sum(jnp.cos(xT), axis=0)))

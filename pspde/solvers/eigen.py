@@ -47,6 +47,15 @@ class _LambdaShiftedProblem:
         self._lam = lam
         self.T = None  # elliptic h signature
         self.sigma_struct = problem.sigma_struct
+        # forward the transposed-coefficient protocol (base.py) so the
+        # dk stopped rollout can run the eigen domain leg K-in-lanes
+        if getattr(problem, "supports_transposed", False):
+            self.b_T = problem.b_T
+            self.h_T = lambda xT, y, zT: problem.h_T(xT, y, zT) + lam * y
+
+    @property
+    def supports_transposed(self):
+        return getattr(self._p, "supports_transposed", False)
 
     def b(self, x):
         return self._p.b(x)
@@ -70,7 +79,8 @@ class EigenSolver:
                  normalization="center", norm_penalty_weight=0.01,
                  hat_weight=1.0, adaptive_forward_process=False,
                  detach_forward=True, print_every=100, verbose=True,
-                 value_net=None, remat=None, mesh=None, steps_per_call=1):
+                 value_net=None, remat=None, mesh=None, steps_per_call=1,
+                 rng_impl="threefry", layout="kd"):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -96,8 +106,15 @@ class EigenSolver:
         self.steps_per_call = steps_per_call
         self.remat = (N > 512) if remat is None else remat
 
+        # rng_impl='rbg' / layout='dk': the same stopped-rollout perf
+        # levers as EllipticSolver (cf. elliptic.py; resolved_layout
+        # records the engine, explicit dk warns on fallback)
+        self.rng_impl = rng_impl
+        self.layout = layout
         key = jax.random.PRNGKey(seed)
         k_net, k_lam, self._train_key = jax.random.split(key, 3)
+        if rng_impl != "threefry":
+            self._train_key = jax.random.key(seed ^ 0x5eed, impl=rng_impl)
         if value_net is None:
             # FP notebook cell 1: DenseNet with relu output clamp
             value_net = DenseNet(d_out=1, arch=(10, 10, 10, 10),
@@ -146,6 +163,27 @@ class EigenSolver:
             N=self.N, delta_t=self.delta_t,
             adaptive_forward=self.adaptive_forward_process,
             detach_forward=self.detach_forward, remat=self.remat)
+        use_dk = (self.layout == "dk"
+                  and getattr(problem, "supports_transposed", False))
+        if use_dk:
+            from ..ansatz.transposed import transposed_apply
+            try:
+                jax.eval_shape(lambda p: transposed_apply(
+                    net, p, jnp.zeros((d, 4))), self.params["V"])
+            except NotImplementedError:
+                use_dk = False
+        self.resolved_layout = "dk" if use_dk else "kd"
+        if self.layout == "dk" and not use_dk:
+            import warnings
+            warnings.warn(
+                "EigenSolver layout='dk' fell back to 'kd' (needs the "
+                "problem's transposed protocol and a transposed-apply-"
+                "capable value net)", stacklevel=2)
+        if use_dk:
+            from ..ansatz.transposed import transposed_apply
+            from ..rollout.sampling import inside_fn_cols
+            from ..rollout.sde import stopped_rollout_dk
+            ins_T = inside_fn_cols(geom)
 
         def loss_fn(params, key):
             kb, kd, kr, kn = jax.random.split(key, 4)
@@ -190,9 +228,24 @@ class EigenSolver:
                 (gradX,) = pull(jnp.ones_like(V))
                 return V, sig.apply_T(gradX)
 
-            out = stopped_rollout(cfg, shifted, vg_fn, params, X0,
-                                  jnp.zeros((K,)), jnp.zeros((K,)), kr, ins,
-                                  v_ref=getattr(problem, "v_ref", None))
+            if use_dk:
+                def vg_fn_T(p, XT, t):
+                    v_of_xT = lambda xT: transposed_apply(
+                        net, p["V"], xT)[0, :]
+                    V, pull = jax.vjp(v_of_xT, XT)
+                    (gradXT,) = pull(jnp.ones_like(V))
+                    return V, sig.apply_T_cols(gradXT)
+
+                out = stopped_rollout_dk(
+                    cfg, shifted, vg_fn_T, params, X0.T,
+                    jnp.zeros((K,)), jnp.zeros((K,)), kr, ins_T,
+                    v_ref_T=getattr(problem, "v_ref_T", None))
+            else:
+                out = stopped_rollout(cfg, shifted, vg_fn, params, X0,
+                                      jnp.zeros((K,)), jnp.zeros((K,)),
+                                      kr, ins,
+                                      v_ref=getattr(problem, "v_ref",
+                                                    None))
             dom_l = jnp.mean((v_fn(out.X) - phi_0 - out.Y) ** 2)
             loss = loss + a0 * dom_l
             aux["domain"] = dom_l

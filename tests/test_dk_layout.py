@@ -248,3 +248,59 @@ def test_elliptic_layout_dk_falls_back_without_protocol():
         s._build_step()
     assert s.resolved_layout == "kd"
     assert any("fell back" in str(x.message) for x in w), w
+
+
+def test_eigen_dk_matches_kd_and_trains():
+    """The eigen domain rollout (lambda-shifted h) in dk layout matches
+    the row-major rollout on the shared fold_in noise stream, and
+    EigenSolver(layout='dk') trains with resolved_layout='dk'
+    (round 4: the last solver family to get the stopped-rollout
+    layout/RNG levers)."""
+    from pspde.problems import FokkerPlanckEigen
+    from pspde.rollout.sampling import (inside_fn, inside_fn_cols,
+                                        sample_domain)
+    from pspde.rollout.sde import (StoppedRolloutConfig, stopped_rollout,
+                                   stopped_rollout_dk)
+    from pspde.solvers import EigenSolver
+    from pspde.solvers.eigen import _LambdaShiftedProblem
+    from pspde.ansatz.transposed import transposed_apply
+
+    d, Ke, Ne = 3, 32, 8
+    p = FokkerPlanckEigen(d=d)
+    s = EigenSolver(p, "eig-dk", L=1, K=Ke, N=Ne, delta_t=1e-2,
+                    verbose=False, layout="dk")
+    shifted = _LambdaShiftedProblem(p, jnp.float32(0.03))
+    assert shifted.supports_transposed
+    cfg = StoppedRolloutConfig(N=Ne, delta_t=1e-2)
+    sig = p.sigma_struct
+    net = s.V_net
+
+    def vg(prm, X, t):
+        v_of_x = lambda x: net.apply(prm["V"], x)[:, 0]
+        V, pull = jax.vjp(v_of_x, X)
+        (gX,) = pull(jnp.ones_like(V))
+        return V, sig.apply_T(gX)
+
+    def vg_T(prm, XT, t):
+        v_of_xT = lambda xT: transposed_apply(net, prm["V"], xT)[0, :]
+        V, pull = jax.vjp(v_of_xT, XT)
+        (gXT,) = pull(jnp.ones_like(V))
+        return V, sig.apply_T_cols(gXT)
+
+    key = jax.random.PRNGKey(11)
+    X0 = sample_domain(key, p.geometry, Ke, d)
+    z = jnp.zeros((Ke,))
+    ref = stopped_rollout(cfg, shifted, vg, s.params, X0, z, z, key,
+                          inside_fn(p.geometry), v_ref=p.v_ref)
+    out = stopped_rollout_dk(cfg, shifted, vg_T, s.params, X0.T, z, z,
+                             key, inside_fn_cols(p.geometry),
+                             v_ref_T=p.v_ref_T, noise_layout="kd")
+    np.testing.assert_allclose(out.X, ref.X, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.Y, ref.Y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out.v_l2, ref.v_l2, rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(out.stopped, ref.stopped)
+
+    # end-to-end: a few training steps in dk resolve + stay finite
+    s.train()
+    assert s.resolved_layout == "dk"
+    assert np.isfinite(s.loss_log).all()
