@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--dims", type=str, default="10,30,100,300,1000")
     ap.add_argument("--fused-dims", type=str, default="100",
                     help="dims to also run rollout_mode=fused_train at")
+    ap.add_argument("--binom", action="store_true",
+                    help="add the fused_rng='binom' column at "
+                         "--fused-dims (round 4: the moment-matched "
+                         "popcount generator; RESULTS.md d-scaling)")
     ap.add_argument("--K", type=int, default=131072)
     args = ap.parse_args()
     dims = [int(x) for x in args.dims.split(",") if x]
@@ -43,6 +47,12 @@ def main():
                          dict(dtype=jnp.float32,
                               rollout_mode="fused_train",
                               steps_per_call=100)))
+            if args.binom:
+                todo.append(("f32_fused_binom",
+                             dict(dtype=jnp.float32,
+                                  rollout_mode="fused_train",
+                                  fused_rng="binom",
+                                  steps_per_call=100)))
         for name, kw in todo:
             kw = dict(kw)
             dtype = kw.pop("dtype")
