@@ -102,7 +102,8 @@ def config_2(args):
 
 
 def config_4(args):
-    d = 100
+    d = 10 if args.smoke else 100
+    K_leg = 2048 if args.smoke else 16384
     p = LQGC(d=d, T=1.0, delta_t=0.01)
     L = args.L
     models = []
@@ -164,7 +165,7 @@ def config_4(args):
     for name, net, kw in legs:
         s = HJBSolver(
             f"lqgc-d100-{name}", p, seed=args.seed,
-            delta_t=0.01, K=16384, time_approx="inner",
+            delta_t=0.01, K=K_leg, time_approx="inner",
             control_net=net,
             adaptive_forward_process=True, remat=True,
             early_stopping_time=None,
