@@ -47,6 +47,15 @@ def main():
                "--picard": dict(type=int, default=0),
                "--refine-K": dict(type=int, default=1000000),
                "--radius": dict(type=float, default=7.0),
+               "--dk": dict(action="store_true",
+                            help="layout='dk' + rng_impl='rbg' (the "
+                                 "round-4 stopped-rollout engine). "
+                                 "Measured: a WIN on the elliptic d=50 "
+                                 "config (1.3-2x) but a 2x LOSS on this "
+                                 "Allen-Cahn config (d=100, K=200, "
+                                 "relu^2 DenseNet [110,110,50]: 0.9 -> "
+                                 "1.8 ms/iter; values identical) — "
+                                 "config-dependent, see RESULTS.md"),
                "--steps-per-call": dict(type=int, default=100)})
     d = 100
     p = AllenCahn(d=d, T=0.3)
@@ -63,6 +72,8 @@ def main():
     common = dict(seed=args.seed, lr=1e-3, K=args.K, K_boundary=50,
                   uniform_square=True, loss_with_stopped=False,
                   steps_per_call=spc)
+    if args.dk:
+        common.update(layout="dk", rng_impl="rbg")
     configs = []
     if args.leg in ("all", "diffusion"):
         configs += [(f"diffusion a0={a0:g}",
