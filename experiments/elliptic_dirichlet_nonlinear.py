@@ -40,6 +40,12 @@ def main():
                              "--us": dict(type=str, default="false",
                                           choices=["false", "true", "both"]),
                              "--anneal": dict(action="store_true"),
+                             "--dk": dict(action="store_true",
+                                          help="layout='dk' + "
+                                               "rng_impl='rbg' (round-4 "
+                                               "stopped-rollout engine; "
+                                               "lane-occupancy-dependent "
+                                               "— see RESULTS.md)"),
                              "--steps-per-call": dict(type=int, default=200)})
     d = 50
     p = ExponentialOnBallNonlinearSin(d=d, alpha=1.0)
@@ -61,6 +67,8 @@ def main():
     common = dict(seed=args.seed, delta_t=1e-3, N=20, lr=lr, K=200,
                   K_boundary=50, K_test_log=10000, steps_per_call=spc,
                   print_every=max(args.L // 20, 1))
+    if args.dk:
+        common.update(layout="dk", rng_impl="rbg")
     if args.leg in ("all", "diffusion"):
         for a0 in [0.1, 1.0, 10.0]:
             for us in us_list:
