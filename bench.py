@@ -112,11 +112,14 @@ def measure(dtype, K=131072, d=D, steps_per_call=20, n_chunks=3,
     return res
 
 
-def measure_fwd_envelope(K=131072, n_reps=10, rng="erfinv"):
+def measure_fwd_envelope(K=131072, n_reps=10, rng="erfinv", best_of=3):
     """Forward-only throughput of the fused training kernel (the replay
-    envelope the custom-VJP backward is bounded by).  ``rng`` matches
-    the winning mode's noise generator so the envelope bounds the right
-    kernel."""
+    envelope the custom-VJP backward is bounded by).  ``K`` and ``rng``
+    MUST match the winning mode's exact config (VERDICT r4 item 2: the
+    shipped r4 artifact recorded train at 113.7%% of a K-mismatched
+    envelope measured in a different process state).  Best-of-``best_of``
+    rep groups: an envelope is an upper bound, so tunnel jitter must not
+    deflate it."""
     import numpy as np
     from pspde.ansatz.transposed import make_transposed_apply
     from pspde.problems import LLGC
@@ -137,11 +140,14 @@ def measure_fwd_envelope(K=131072, n_reps=10, rng="erfinv"):
     leaves = tuple(jax.tree.leaves(s.params["z"]))
     out = fwd(leaves, jnp.float32(3))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(n_reps):
-        out = fwd(leaves, jnp.float32(i))
-    jax.block_until_ready(out)
-    return K * s.N / ((time.perf_counter() - t0) / n_reps)
+    best = 0.0
+    for g in range(best_of):
+        t0 = time.perf_counter()
+        for i in range(n_reps):
+            out = fwd(leaves, jnp.float32(g * n_reps + i))
+        jax.block_until_ready(out)
+        best = max(best, K * s.N / ((time.perf_counter() - t0) / n_reps))
+    return best
 
 
 def measure_vpu_roofline():
@@ -216,10 +222,13 @@ def main():
                     results[k]["path_steps_per_sec"])
     best = results[best_name]
 
+    # envelope at the WINNER's exact (K, rng), immediately after the
+    # winner, same process, best-of-n (VERDICT r4 item 2)
     fwd_envelope = None
+    best_K = 262144 if best_name.endswith("K262144") else 131072
     try:
         fwd_envelope = measure_fwd_envelope(
-            rng="binom" if "binom" in best_name else "erfinv")
+            K=best_K, rng="binom" if "binom" in best_name else "erfinv")
     except Exception as e:
         errors["fwd_envelope"] = repr(e)[:300]
 
@@ -240,13 +249,23 @@ def main():
         "best_mode": best_name,
         "mfu_pct_of_v5e_bf16_peak": round(best["mfu_pct"], 2),
     }
+    # the MXU MFU above is reported for BASELINE.json's ">=50% of TPU
+    # FLOP roofline" target but is the WRONG utilization metric for this
+    # VPU-bound step — vpu_roofline_pct below is the valid one
+    out["mfu_note"] = "step is VPU/PRNG-bound; see vpu_roofline_pct"
     if fwd_envelope:
         out["fwd_envelope_path_steps_per_sec"] = round(fwd_envelope, 1)
-        out["train_pct_of_fwd_envelope"] = round(
-            100 * best["path_steps_per_sec"] / (fwd_envelope / 2), 1)
+        pct = 100 * best["path_steps_per_sec"] / (fwd_envelope / 2)
+        out["train_pct_of_fwd_envelope"] = round(pct, 1)
         # /2: a recompute-based backward replays the forward once, so the
         # structural bound for fwd+bwd is half the forward-only rate
-    if roofline:
+        if pct > 105.0:
+            # never ship a self-contradictory artifact silently again
+            # (VERDICT r4 weak 1): >105% of a hard bound means the
+            # envelope measurement failed, not that the bound is beaten
+            out["roofline_inconsistent"] = True
+    if roofline and (fwd_envelope or
+                     roofline.get("prng_normals_per_sec", 0) > 0):
         # The binding VPU resource is PRNG-normals generation (round-4
         # study, RESULTS.md): the measured forward runs at ~100% of the
         # normals-only machine rate, so the train step's roofline is
@@ -263,6 +282,8 @@ def main():
         out["vpu_roofline_path_steps_per_sec"] = round(prng_sol, 1)
         out["vpu_roofline_pct"] = round(
             100 * best["path_steps_per_sec"] / prng_sol, 1)
+        if out["vpu_roofline_pct"] > 105.0:
+            out["roofline_inconsistent"] = True
         out["prng_normals_per_sec"] = round(rn, 1)
         out["vpu_fma_flops_per_sec"] = round(
             roofline["vpu_fma_flops_per_sec"], 1)

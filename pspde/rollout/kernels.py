@@ -359,6 +359,31 @@ class FusedTrainOut(NamedTuple):
     u_l2: jnp.ndarray   # (K,) control-error accumulator
 
 
+def _closure_convert(fn, *example):
+    """Trace ``fn`` to a jaxpr and turn its constvars into invars: Pallas
+    kernels receive every array as an explicit VMEM ref, so arrays the
+    problem/ansatz close over (drift matrices, sigma diagonals, lookup
+    tables) must become kernel inputs.  (jax's closure_convert only
+    hoists tracers, not literal jnp constants.)"""
+    from jax.extend.core import ClosedJaxpr, jaxpr_as_fun
+    cj = jax.make_jaxpr(fn)(*example)
+    consts = [jnp.asarray(c) for c in cj.consts]
+    open_jaxpr = cj.jaxpr.replace(
+        invars=list(cj.jaxpr.constvars) + list(cj.jaxpr.invars),
+        constvars=[])
+    return jaxpr_as_fun(ClosedJaxpr(open_jaxpr, ())), consts
+
+
+def _canon2d(xs):
+    """Canonicalize arrays to 2-d (Mosaic loads full-array VMEM blocks);
+    returns (2-d arrays, original shapes)."""
+    shapes = [tuple(jnp.shape(x)) for x in xs]
+    arrs = [jnp.asarray(x).reshape(
+        s if len(s) == 2 else (1, -1) if s else (1, 1))
+        for x, s in zip(xs, shapes)]
+    return arrs, shapes
+
+
 def make_fused_train_rollout(
     problem,
     z_apply_T: Callable,      # (param_leaves_tuple, tXT (d+1, T)) -> (d, T)
@@ -371,7 +396,8 @@ def make_fused_train_rollout(
     accumulate_kl: bool = False,
     kl_ito_term: bool = False,
     u_tab=None,               # (N, d) state-independent reference control
-    tile: int = 4096,
+    tile: "int | None" = None,  # None = default 4096 (an explicit value is
+                              # a user request: warn if it must be capped)
     interpret: bool = False,
     host_noise=None,          # (N, d, K) f32: test/CPU mode
     rng: str = "erfinv",      # in-kernel bits->normal map (or 'boxmuller')
@@ -481,8 +507,11 @@ def make_fused_train_rollout(
     cal = 499_200
     max_tile = max(
         128, (cal // max(1, d * ((unroll + 1) // 2))) // 128 * 128)
+    tile_requested = tile is not None   # ADVICE r4: intent, not value
+    if tile is None:
+        tile = 4096
     if tile > max_tile:
-        if tile != 4096:  # an explicitly requested tile is being capped
+        if tile_requested:  # an explicitly requested tile is being capped
             import warnings
             warnings.warn(
                 "fused_train_rollout: requested tile=%d exceeds the "
@@ -534,8 +563,14 @@ def make_fused_train_rollout(
             # row: Σ_e(Z+u)² = ΣZ² + 2·(u @ Z) + |u|² — the cross term is
             # an MXU matvec, no (d, 1) column relayout needed
             Zs = lax.stop_gradient(Z)
+            # HIGHEST precision: at default precision the MXU truncates
+            # the f32 inputs to bf16, and since the three expanded terms
+            # cancel near convergence (Z ~ -u) the diagnostic would gain
+            # an O(0.1-1%) error floor (ADVICE r4); the (1, d) x (d, tile)
+            # matvec is negligible next to the net matmuls
             ul2 = (jnp.sum(Zs * Zs, axis=0, keepdims=True)
-                   + 2.0 * jnp.dot(u_row, Zs)
+                   + 2.0 * jnp.dot(u_row, Zs,
+                                   precision=lax.Precision.HIGHEST)
                    + jnp.sum(u_row * u_row)) * dt
         return X_new, a, kl, ul2
 
@@ -810,6 +845,466 @@ def make_fused_train_rollout_sharded(
     try:
         out.tile, out.unroll = inner.tile, inner.unroll
     except AttributeError:  # shard_map output may reject attributes
+        pass
+    return out
+
+
+def jaxpr_mosaic_safe(fn, *example):
+    """Conservative trace-time check that ``fn`` lowers to ops the fused
+    kernels can run: no gathers / dynamic indexing / control flow (the
+    FD-oracle reference solutions are interp-table lookups — gather —
+    which Mosaic cannot lower; closed-form references are plain VPU
+    math).  Used to gate the optional in-kernel v_ref diagnostic."""
+    try:
+        cj = jax.make_jaxpr(fn)(*example)
+    except Exception:
+        return False
+    bad = {"gather", "scatter", "scatter-add", "scatter_add",
+           "dynamic_slice", "dynamic_update_slice", "sort", "while",
+           "scan", "cond", "argmin", "argmax"}
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name in bad:
+                return False
+            for v in eqn.params.values():
+                for sub in (v if isinstance(v, (list, tuple)) else (v,)):
+                    ij = getattr(sub, "jaxpr", None)
+                    if ij is not None and not walk(ij):
+                        return False
+        return True
+
+    return walk(cj.jaxpr)
+
+
+class FusedStoppedOut(NamedTuple):
+    XT: jnp.ndarray       # (d, K) state at stopping (or final) time, COLUMNS
+    Y: jnp.ndarray        # (K,) accumulated masked value increments
+    t: jnp.ndarray        # (K,) per-path elapsed time (general solver)
+    stopped: jnp.ndarray  # (K,) f32 0/1 stopped flag
+    hitting: jnp.ndarray  # (K,) number of active steps
+    v_l2: jnp.ndarray     # (K,) accumulated V-vs-reference L2 error
+    adv_steps: jnp.ndarray  # (K,) advanced steps taken (K_log numerator)
+
+
+# Scoped-VMEM calibration product for the STOPPED training kernel,
+# d * tile * ceil(unroll/2) <= cal (cf. the 499_200 boundary measured for
+# the first-order HJB kernel).  The stopped kernel's step is one
+# derivative deeper on both sides — the forward contains the value-net
+# vjp (Z = sigma^T grad V) and the backward differentiates through it —
+# so its live (d, tile) buffer set is larger.  Measured on v5e (round 5):
+# the FORWARD compiles at the full HJB boundary (d=50/t9984 ~ 499k) but
+# the BACKWARD's grad-of-grad live set crashes the compile helper above
+# ~d*tile = 175k (d=50: t4096 OOMs, t3456 compiles; d=10: t16384 OOMs,
+# t12288 = 122k compiles) — both kernels must share one tile (the
+# per-tile PRNG replay), so the backward binds.
+_STOPPED_CAL = 160_000
+
+
+def make_fused_stopped_train_rollout(
+    problem,
+    terms_math: Callable,     # (leaves_tuple, XT (d, T), t_row (1, T)) ->
+                              #   (V (1, T), ZT (d, T), h (1, T)):
+                              #   value, Z = sigma^T grad V, and h evaluated
+                              #   at the PRE-step state with y_in_h = V
+    example_leaves,           # tuple of f32 arrays (value-net weights [+ lam])
+    K: int,
+    N: int,
+    delta_t: float,
+    *,
+    inside_fn_T: Callable,    # (XT, XT_prop) -> (K,) bool domain test
+    adaptive_forward: bool = False,
+    time_stopping: bool = False,   # general solver: stop when t + dt > T
+    v_ref_T=None,             # optional (XT,) -> (K,) in-kernel diagnostic
+                              # (pass ONLY closed-form refs: FD lookup
+                              # tables gather, which Mosaic cannot lower)
+    tile: "int | None" = None,
+    interpret: bool = False,
+    host_noise=None,          # (N, d, K) f32: test/CPU mode
+    rng: str = "erfinv",
+    unroll: "int | None" = None,  # default 1: the second-order step's
+                              # live set leaves no headroom for pipelined
+                              # unroll pairs at useful tiles
+):
+    """Fully-fused TRAINING rollout for the STOPPED-path family with a
+    custom VJP: forward AND backward each run as ONE Pallas kernel with
+    zero per-step HBM traffic (VERDICT r4 item 1 — the engine behind the
+    reference's flagship diffusion-loss experiments, solver.py:723-785,
+    which 9 of its 16 notebooks run on).
+
+    Structure (cf. :func:`make_fused_train_rollout`, whose replay
+    derivation this extends): with ``detach_forward`` and the
+    NON-recursive losses (y_in_h = V(X_n), i.e. 'diffusion' / terminal
+    'BSDE' — solver.py:765-770), the accumulated value decomposes into
+    per-step increments
+
+        a_n = [(-h(X_n, V_n, Z_n) + <Z_n, c_n>) dt + <Z_n, xi_n> sq_dt]
+              * adv_n
+
+    whose parameter dependence enters only through (V_n, Z_n) =
+    (V, sigma^T grad V)(X_n) at that step — the stopped/advance masks
+    adv_n are parameter-free because the X chain is detached (with
+    ``adaptive_forward`` the chain depends on parameter VALUES through
+    the stop-gradient control, which the replay reproduces exactly).
+    Every a_n shares one per-path cotangent dL/dY_k, so the backward
+    needs no reverse sweep: it REPLAYS the forward (identical in-kernel
+    per-tile PRNG stream — masks, states and noise regenerate bitwise)
+    while accumulating sum_k gY_k da_{n,k}/dtheta via a traced per-step
+    VJP.  Since Z itself is a vjp of the value net, that per-step VJP is
+    grad-of-grad — a deeper but still static jaxpr, which Mosaic lowers
+    like any other (this replaces the reference's per-step
+    ``autograd.grad(..., create_graph=True)``, solver.py:725-729).
+
+    Unlike the HJB kernel, the start state is an argument: ``run(leaves,
+    X0T (d, K), t0 (K,), seed_f32) -> FusedStoppedOut``, differentiable
+    in ``leaves`` (X0/t0 are sampled data and receive no cotangent; the
+    solver adds the differentiable Y_0 = V(X_0) and terminal V(X_tau)
+    terms outside on (K,)-sized batches).  Masking algebra is
+    step-for-step :func:`rollout.sde.stopped_rollout` (equivalence
+    tested on host noise, incl. masks and gradients).
+    """
+    d = problem.d
+    sig = problem.sigma_struct
+    dt = np.float32(delta_t)
+    sq_dt = np.float32(np.sqrt(delta_t))
+    _normals = {"erfinv": _normals_from_bits_erfinv,
+                "boxmuller": _normals_from_bits,
+                "binom": _normals_from_bits_binom}[rng]
+    T_horizon = np.float32(problem.T) if time_stopping else None
+    example_leaves = tuple(
+        jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+        for x in example_leaves)
+    n_leaves = len(example_leaves)
+    use_host_noise = host_noise is not None
+
+    # -- VMEM guardrail (cf. make_fused_train_rollout; the grad-of-grad
+    # backward roughly doubles the live activation set, hence the larger
+    # multiplier and the smaller calibration product)
+    weight_bytes = sum(int(np.prod(x.shape)) * 4 for x in example_leaves)
+    hidden_rows = sum(int(x.shape[-1]) for x in example_leaves
+                      if getattr(x, "ndim", 0) >= 2)
+
+    def vmem_estimate(t):
+        bufs = 4 * t * (12 * d + 8 * hidden_rows + 96)
+        noise = 4 * N * d * t if use_host_noise else 0
+        return 2 * weight_bytes + bufs + noise
+
+    if unroll is None:
+        unroll = 1
+    if unroll < 1 or N % unroll:
+        raise ValueError(f"unroll={unroll} must divide N={N}")
+    max_tile = max(
+        128, (_STOPPED_CAL // max(1, d * ((unroll + 1) // 2))) // 128 * 128)
+    tile_requested = tile is not None
+    if tile is None:
+        tile = 4096
+    if tile > max_tile:
+        if tile_requested:
+            import warnings
+            warnings.warn(
+                "fused_stopped_train_rollout: requested tile=%d exceeds "
+                "the d*tile*unroll scoped-VMEM calibration at d=%d, "
+                "unroll=%d; capped to %d" % (tile, d, unroll, max_tile))
+        tile = max_tile
+    while tile > 128 and vmem_estimate(tile) > 96 * 2**20:
+        tile = max(128, (tile // 2) // 128 * 128)
+    if vmem_estimate(tile) > 96 * 2**20:
+        raise ValueError(
+            "fused_stopped_train_rollout: VMEM estimate %.1f MiB exceeds "
+            "budget even at tile=128 (net too large) - use the scan path."
+            % (vmem_estimate(tile) / 2**20))
+    n_tiles = pl.cdiv(K, tile)
+    Kp = n_tiles * tile
+
+    # ---- step math (traced, then closure-converted into the kernels) ----
+    def step_math(XT, t_row, stopped_f, xi, *params):
+        T_ = XT.shape[1]
+        V, ZT, hv = terms_math(tuple(params), XT, t_row)
+        active = 1.0 - stopped_f                       # (1, T)
+        if adaptive_forward:
+            c = -lax.stop_gradient(ZT)
+        else:
+            c = None
+        # the X chain is detached by construction (detach_forward): its
+        # increments carry no parameter cotangent, so the masks below are
+        # parameter-free and regenerate exactly in the backward replay
+        drift = lax.stop_gradient(
+            (problem.b_T(XT) + (sig.apply_cols(c) if c is not None
+                                else 0.0)) * dt
+            + sig.apply_cols(xi) * sq_dt)
+        XT_prop = XT + drift * active
+        # reference quirk preserved (solver.py:750-760 via sampling.py):
+        # sphere geometries test the CURRENT state, squares the proposal
+        new_sel = inside_fn_T(XT, XT_prop).reshape(1, T_)
+        if time_stopping:
+            new_sel = new_sel & ((t_row + dt) <= T_horizon)
+        new_self = new_sel.astype(jnp.float32)
+        adv = new_self * active                        # (1, T)
+        if c is not None:
+            dY = ((-hv + jnp.sum(ZT * c, axis=0, keepdims=True)) * dt
+                  + jnp.sum(ZT * xi, axis=0, keepdims=True) * sq_dt)
+        else:
+            dY = (-hv * dt
+                  + jnp.sum(ZT * xi, axis=0, keepdims=True) * sq_dt)
+        a = dY * adv
+        XT_new = XT + drift * adv   # == where(adv, X_prop, X): adv <= active
+        stopped_new = 1.0 - (1.0 - stopped_f) * new_self
+        t_new = t_row + dt * adv if time_stopping else t_row
+        vl2 = jnp.zeros_like(a)
+        if v_ref_T is not None:
+            e = lax.stop_gradient(V) - v_ref_T(XT).reshape(1, T_)
+            vl2 = e * e * active * dt
+        return XT_new, t_new, stopped_new, a, vl2, active, adv
+
+    def bwd_math(XT, t_row, stopped_f, xi, gy, *params):
+        def of_params(*ps):
+            XT_new, t_new, stopped_new, a, _, _, _ = step_math(
+                XT, t_row, stopped_f, xi, *ps)
+            return XT_new, t_new, stopped_new, a
+        (XT_new, t_new, stopped_new, _), pull = jax.vjp(of_params, *params)
+        grads = pull((jnp.zeros_like(XT), jnp.zeros_like(t_row),
+                      jnp.zeros_like(stopped_f), gy))
+        return (XT_new, t_new, stopped_new) + tuple(grads)
+
+    X_ex = jax.ShapeDtypeStruct((d, tile), jnp.float32)
+    r_ex = jax.ShapeDtypeStruct((1, tile), jnp.float32)
+
+    fwd_open, fwd_consts = _closure_convert(
+        step_math, X_ex, r_ex, r_ex, X_ex, *example_leaves)
+    bwd_open, bwd_consts = _closure_convert(
+        bwd_math, X_ex, r_ex, r_ex, X_ex, r_ex, *example_leaves)
+
+    hn = None
+    if use_host_noise:
+        hn = jnp.pad(jnp.asarray(host_noise, jnp.float32),
+                     ((0, 0), (0, 0), (0, Kp - K)))
+
+    def full_spec(x):
+        nd = len(x.shape)
+        return pl.BlockSpec(x.shape, lambda i, *_: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+    x0_spec = pl.BlockSpec((d, tile), lambda i, *_: (0, i),
+                           memory_space=pltpu.VMEM)
+    noise_spec = pl.BlockSpec((N, d, tile), lambda i, *_: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+
+    def _pad_rows(v):   # (K,) -> (n_tiles, tile) full-array row table
+        return jnp.pad(v.astype(jnp.float32), (0, Kp - K)).reshape(
+            n_tiles, tile)
+
+    # ------------------------------------------------------------- forward
+    def _fwd(leaves, X0T, t0, seed):
+        consts2d, cshapes = _canon2d(list(leaves) + list(fwd_consts))
+        X0Tp = jnp.pad(X0T.astype(jnp.float32), ((0, 0), (0, Kp - K)))
+        inputs = consts2d + [X0Tp, _pad_rows(t0)]
+        if use_host_noise:
+            inputs.append(hn)
+        n_in = len(inputs)
+
+        def kernel(seed_ref, *refs):
+            in_refs = refs[:n_in]
+            xt_out, acc_out = refs[n_in], refs[n_in + 1]
+            noise_ref = in_refs[-1] if use_host_noise else None
+            base = in_refs[:len(cshapes)]
+            x0_ref = in_refs[len(cshapes)]
+            t0_ref = in_refs[len(cshapes) + 1]
+            if not use_host_noise:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            extra = tuple(r[:].reshape(cshapes[j])
+                          for j, r in enumerate(base))
+            X0 = x0_ref[:]
+            # full-array ref + ds row slice (a (1, tile) block of an
+            # (n_tiles, tile) array violates the (8, 128) sublane tiling)
+            t0_row = t0_ref[pl.ds(pl.program_id(0), 1), :]
+            z = jnp.zeros((1, tile), jnp.float32)
+
+            def body(n0, carry):
+                X, t_row, stp, aY, aV, aH, aA = carry
+                for j in range(unroll):
+                    n = n0 * unroll + j
+                    xi = (noise_ref[n] if use_host_noise
+                          else _normals((d, tile)))
+                    pvals = extra[:n_leaves]
+                    cvals = extra[n_leaves:]
+                    X, t_row, stp, a, vl2, act, adv = fwd_open(
+                        *cvals, X, t_row, stp, xi, *pvals)
+                    aY, aV = aY + a, aV + vl2
+                    aH, aA = aH + act, aA + adv
+                return X, t_row, stp, aY, aV, aH, aA
+
+            X, t_row, stp, aY, aV, aH, aA = lax.fori_loop(
+                0, N // unroll, body, (X0, t0_row, z, z, z, z, z))
+            xt_out[:] = X
+            acc_out[0:1, :] = aY
+            acc_out[1:2, :] = t_row
+            acc_out[2:3, :] = stp
+            acc_out[3:4, :] = aH
+            acc_out[4:5, :] = aV
+            acc_out[5:6, :] = aA
+            acc_out[6:, :] = jnp.zeros((2, tile), jnp.float32)
+
+        in_specs = [full_spec(x) for x in inputs[:n_in]]
+        in_specs[len(cshapes)] = x0_spec
+        if use_host_noise:
+            in_specs[-1] = noise_spec
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((d, tile), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, tile), lambda i, *_: (0, i),
+                                 memory_space=pltpu.VMEM)),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((d, Kp), jnp.float32),
+                       jax.ShapeDtypeStruct((8, Kp), jnp.float32)),
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(jnp.asarray([seed], jnp.int32), *inputs)
+        XT, acc = out
+        return FusedStoppedOut(XT[:, :K], acc[0, :K], acc[1, :K],
+                               acc[2, :K], acc[3, :K], acc[4, :K],
+                               acc[5, :K])
+
+    # ------------------------------------------------------------ backward
+    def _bwd(leaves, X0T, t0, seed, gY):
+        consts2d, cshapes = _canon2d(list(leaves) + list(bwd_consts))
+        X0Tp = jnp.pad(X0T.astype(jnp.float32), ((0, 0), (0, Kp - K)))
+        inputs = consts2d + [X0Tp, _pad_rows(t0), _pad_rows(gY)]
+        if use_host_noise:
+            inputs.append(hn)
+        n_in = len(inputs)
+        leaf_shapes = [tuple(x.shape) if x.ndim == 2 else (1, x.shape[0])
+                       for x in leaves]
+
+        def kernel(seed_ref, *refs):
+            in_refs = refs[:n_in]
+            grad_refs = refs[n_in:]
+            noise_ref = in_refs[-1] if use_host_noise else None
+            base = in_refs[:len(cshapes)]
+            x0_ref = in_refs[len(cshapes)]
+            t0_ref = in_refs[len(cshapes) + 1]
+            gy_ref = in_refs[len(cshapes) + 2]
+            if not use_host_noise:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            extra = tuple(r[:].reshape(cshapes[j])
+                          for j, r in enumerate(base))
+            X0 = x0_ref[:]
+            t0_row = t0_ref[pl.ds(pl.program_id(0), 1), :]
+            gy = gy_ref[pl.ds(pl.program_id(0), 1), :]
+            z = jnp.zeros((1, tile), jnp.float32)
+            g0 = tuple(jnp.zeros(s, jnp.float32) for s in leaf_shapes)
+
+            def body(n0, carry):
+                X, t_row, stp = carry[:3]
+                gacc = carry[3:]
+                for j in range(unroll):
+                    n = n0 * unroll + j
+                    xi = (noise_ref[n] if use_host_noise
+                          else _normals((d, tile)))
+                    pvals = extra[:n_leaves]
+                    cvals = extra[n_leaves:]
+                    outs = bwd_open(*cvals, X, t_row, stp, xi, gy,
+                                    *pvals)
+                    X, t_row, stp = outs[0], outs[1], outs[2]
+                    gacc = tuple(
+                        ga + gn.reshape(s)
+                        for ga, gn, s in zip(gacc, outs[3:], leaf_shapes))
+                return (X, t_row, stp) + gacc
+
+            out = lax.fori_loop(0, N // unroll, body, (X0, t0_row, z) + g0)
+            for j, gref in enumerate(grad_refs):
+                gref[:] = out[3 + j][None]
+
+        in_specs = [full_spec(x) for x in inputs[:n_in]]
+        in_specs[len(cshapes)] = x0_spec
+        if use_host_noise:
+            in_specs[-1] = noise_spec
+        out_specs = tuple(
+            pl.BlockSpec((1,) + s, lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for s in leaf_shapes)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((n_tiles,) + s, jnp.float32)
+            for s in leaf_shapes)
+        per_tile = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(n_tiles,),
+                in_specs=in_specs, out_specs=out_specs),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=compiler_params,
+        )(jnp.asarray([seed], jnp.int32), *inputs)
+        return tuple(
+            g.sum(axis=0).reshape(l.shape)
+            for g, l in zip(per_tile, leaves))
+
+    # ------------------------------------------------- custom-VJP wrapper
+    @jax.custom_vjp
+    def run(leaves, X0T, t0, seed_f32):
+        return _fwd(leaves, X0T, t0, seed_f32.astype(jnp.int32))
+
+    def run_fwd(leaves, X0T, t0, seed_f32):
+        seed = seed_f32.astype(jnp.int32)
+        return _fwd(leaves, X0T, t0, seed), (leaves, X0T, t0, seed)
+
+    def run_bwd(res, ct):
+        leaves, X0T, t0, seed = res
+        # only Y carries a parameter cotangent (X chain and masks are
+        # parameter-free by the detached-forward construction; X0/t0 are
+        # sampled data)
+        grads = _bwd(leaves, X0T, t0, seed, ct.Y)
+        return (grads, jnp.zeros_like(X0T), jnp.zeros_like(t0),
+                jnp.zeros((), jnp.float32))
+
+    run.defvjp(run_fwd, run_bwd)
+    run.tile = tile
+    run.unroll = unroll
+    return run
+
+
+def make_fused_stopped_train_rollout_sharded(
+    problem, terms_math, example_leaves, K, N, delta_t, *,
+    mesh, axis="dp", **kw,
+):
+    """dp-sharded wrapper of :func:`make_fused_stopped_train_rollout`
+    (cf. :func:`make_fused_train_rollout_sharded`: GSPMD cannot partition
+    a ``pallas_call``, so each device runs the kernel on its path shard
+    with replicated weights; the replicated-leaves transpose psums the
+    per-shard parameter gradients).  ``X0T``/``t0`` are consumed as
+    path-sharded inputs; per-shard PRNG streams are spaced by the
+    kernel's maximum per-shard tile count."""
+    if not any(ax == axis for ax in mesh.axis_names):
+        raise ValueError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
+    n_dp = mesh.shape[axis]
+    if K % n_dp:
+        raise ValueError(f"K={K} not divisible by mesh '{axis}'={n_dp}")
+    from jax.sharding import PartitionSpec as P
+
+    inner = make_fused_stopped_train_rollout(
+        problem, terms_math, example_leaves, K // n_dp, N, delta_t, **kw)
+
+    tiles_max = max(1, (K // n_dp) // 128)
+
+    def shard_fn(leaves, X0T, t0, seed_f):
+        idx = lax.axis_index(axis).astype(jnp.float32)
+        return inner(leaves, X0T, t0, seed_f + idx * np.float32(tiles_max))
+
+    out = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis), P()),
+        out_specs=FusedStoppedOut(P(None, axis), P(axis), P(axis), P(axis),
+                                  P(axis), P(axis), P(axis)),
+        check_vma=False)
+    try:
+        out.tile, out.unroll = inner.tile, inner.unroll
+    except AttributeError:
         pass
     return out
 

@@ -80,7 +80,8 @@ class EigenSolver:
                  hat_weight=1.0, adaptive_forward_process=False,
                  detach_forward=True, print_every=100, verbose=True,
                  value_net=None, remat=None, mesh=None, steps_per_call=1,
-                 rng_impl="threefry", layout="kd"):
+                 rng_impl="threefry", layout="kd", rollout_mode="scan",
+                 fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -111,6 +112,14 @@ class EigenSolver:
         # records the engine, explicit dk warns on fallback)
         self.rng_impl = rng_impl
         self.layout = layout
+        # rollout_mode='fused_train': the eigen domain leg (a diffusion
+        # loss with the lambda-shifted h) as one Pallas kernel per
+        # direction; lambda rides the leaves tuple so its gradient flows
+        # through the in-kernel VJP (cf. EllipticSolver.rollout_mode).
+        self.rollout_mode = rollout_mode
+        self.fused_tile = fused_tile
+        self.fused_unroll = fused_unroll
+        self.fused_rng = fused_rng
         key = jax.random.PRNGKey(seed)
         k_net, k_lam, self._train_key = jax.random.split(key, 3)
         if rng_impl != "threefry":
@@ -147,6 +156,41 @@ class EigenSolver:
     def _v_fn(self, params):
         return lambda X: self.V_net.apply(params["V"], X)[:, 0]
 
+    # fused-kernel gating reuses EllipticSolver's resolution: the eigen
+    # domain leg IS the diffusion loss (with the lambda-shifted h)
+    loss_method = "diffusion"
+    _fused_needs_xt = False
+
+    def _probe_params(self):
+        return self.params["V"]
+
+    from .elliptic import EllipticSolver as _Ell
+    _resolve_fused = _Ell._resolve_fused
+    _build_fused_run = _Ell._build_fused_run
+    del _Ell
+
+    def _terms_math_T(self):
+        """terms_math for the fused eigen kernel: (V, Z = sigma^T grad V,
+        h + lambda V) in column layout — lambda is read off the leaves so
+        d(loss)/d(lambda) flows through the in-kernel VJP."""
+        from ..ansatz.transposed import transposed_apply
+        sig = self.problem.sigma_struct
+        net = self.V_net
+        problem = self.problem
+        treedef = jax.tree.structure(self.params)
+
+        def terms(leaves, XT, t_row):
+            prm = jax.tree.unflatten(treedef, list(leaves))
+            lam = jax.tree.leaves(prm["lam"])[0].reshape(1,)
+            v_of_xT = lambda xT: transposed_apply(net, prm["V"], xT)[0, :]
+            V, pull = jax.vjp(v_of_xT, XT)
+            (gradXT,) = pull(jnp.ones_like(V))
+            ZT = sig.apply_T_cols(gradXT)
+            hv = problem.h_T(XT, V, ZT) + lam * V
+            return V.reshape(1, -1), ZT, hv.reshape(1, -1)
+
+        return terms
+
     def lam(self, params=None):
         params = self.params if params is None else params
         return self.lam_net.apply(params["lam"], jnp.zeros((1, 1)))[0]
@@ -163,7 +207,10 @@ class EigenSolver:
             N=self.N, delta_t=self.delta_t,
             adaptive_forward=self.adaptive_forward_process,
             detach_forward=self.detach_forward, remat=self.remat)
-        use_dk = (self.layout == "dk"
+        use_fused = self._resolve_fused()
+        if use_fused:
+            fused_run = self._build_fused_run()
+        use_dk = ((not use_fused) and self.layout == "dk"
                   and getattr(problem, "supports_transposed", False))
         if use_dk:
             from ..ansatz.transposed import transposed_apply
@@ -220,6 +267,24 @@ class EigenSolver:
 
             X0 = constrain_batch(sample_domain(kd, geom, K, d), self.mesh)
             phi_0 = v_fn(X0)
+
+            if use_fused:
+                X0T = X0.T
+                if self.mesh is not None:
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                leaves = tuple(jax.tree.leaves(params))
+                seed_f = jax.random.randint(
+                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
+                fo = fused_run(leaves, X0T, jnp.zeros((K,)), seed_f)
+                dom_l = jnp.mean((v_fn(fo.XT.T) - phi_0 - fo.Y) ** 2)
+                loss = loss + a0 * dom_l
+                aux["domain"] = dom_l
+                aux["V_L2"] = jnp.mean(fo.v_l2)
+                return loss, aux
+
             shifted = _LambdaShiftedProblem(problem, lam)
 
             def vg_fn(p, X, t):
@@ -236,8 +301,17 @@ class EigenSolver:
                     (gradXT,) = pull(jnp.ones_like(V))
                     return V, sig.apply_T_cols(gradXT)
 
+                X0T = X0.T
+                if self.mesh is not None:
+                    # keep the transposed path state path-sharded: without
+                    # the constraint GSPMD may re-shard/gather X0.T (the
+                    # hazard test_parallel's HLO guard checks; ADVICE r4)
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
                 out = stopped_rollout_dk(
-                    cfg, shifted, vg_fn_T, params, X0.T,
+                    cfg, shifted, vg_fn_T, params, X0T,
                     jnp.zeros((K,)), jnp.zeros((K,)), kr, ins_T,
                     v_ref_T=getattr(problem, "v_ref_T", None))
             else:

@@ -57,7 +57,8 @@ class EllipticSolver:
                  variance_moment_split=False, full_hessian=False,
                  uniform_square=False, value_net=None, remat=None,
                  mesh=None, steps_per_call=1, rng_impl="threefry",
-                 layout="kd"):
+                 layout="kd", rollout_mode="scan", fused_tile=None,
+                 fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -103,6 +104,20 @@ class EllipticSolver:
         # transposed apply).  Param init always uses threefry.
         self.rng_impl = rng_impl
         self.layout = layout
+        # rollout_mode='fused_train' runs the stopped rollout as ONE
+        # Pallas kernel per direction (rollout/kernels.py:
+        # make_fused_stopped_train_rollout — the backward replays the
+        # forward, grad-of-grad in-kernel).  Requirements: TPU backend,
+        # loss_method in ('diffusion', 'BSDE') (the non-recursive-Y
+        # family), detach_forward, the problem's transposed protocol and
+        # a transposed-apply value net; falls back to the scan with a
+        # warning otherwise (resolved_rollout_mode records the engine).
+        # Noise is the in-kernel TPU PRNG — statistically, not bitwise,
+        # the scan's stream.
+        self.rollout_mode = rollout_mode
+        self.fused_tile = fused_tile
+        self.fused_unroll = fused_unroll
+        self.fused_rng = fused_rng
         key = jax.random.PRNGKey(seed)
         k_net, self._train_key = jax.random.split(key)
         if rng_impl != "threefry":
@@ -164,6 +179,118 @@ class EllipticSolver:
 
         return fn
 
+    def _terms_math_T(self):
+        """terms_math for the fused stopped kernel
+        (rollout/kernels.py: make_fused_stopped_train_rollout): (V,
+        Z = sigma^T grad V, h) at the pre-step state in column layout,
+        h with y_in_h = V (the non-recursive losses, solver.py:765-770).
+        """
+        from ..ansatz.transposed import transposed_apply
+        from ..rollout.sde import _call_h_T
+        sig = self.problem.sigma_struct
+        net = self.V_net
+        problem = self.problem
+        treedef = jax.tree.structure(self.params)
+
+        def terms(leaves, XT, t_row):
+            prm = jax.tree.unflatten(treedef, list(leaves))
+            v_of_xT = lambda xT: transposed_apply(net, prm, xT)[0, :]
+            V, pull = jax.vjp(v_of_xT, XT)
+            (gradXT,) = pull(jnp.ones_like(V))
+            ZT = sig.apply_T_cols(gradXT)
+            hv = _call_h_T(problem, t_row[0, :], XT, V, ZT)
+            return V.reshape(1, -1), ZT, hv.reshape(1, -1)
+
+        return terms
+
+    _fused_needs_xt = False   # elliptic value net consumes x only
+
+    def _probe_params(self):
+        """Value-net param tree for the transposed-apply capability probe
+        (EigenSolver nests the net under 'V')."""
+        return self.params
+
+    def _resolve_fused(self):
+        """Gate rollout_mode='fused_train' -> usable, or fall back to the
+        scan with a one-time warning (cf. HJBSolver's resolution;
+        resolved_rollout_mode records what actually runs)."""
+        from ..ansatz.transposed import transposed_apply
+        ok = (self.rollout_mode == "fused_train"
+              and self.loss_method in ("diffusion", "BSDE")
+              and self.detach_forward
+              and not getattr(self, "solve_linear_L2_projection", False)
+              and getattr(self.problem, "supports_transposed", False)
+              and (self.mesh is None
+                   or ("dp" in self.mesh.axis_names
+                       and self.K % self.mesh.shape["dp"] == 0))
+              and jax.default_backend() == "tpu")
+        if ok:
+            d_in = self.d + 1 if self._fused_needs_xt else self.d
+            try:
+                jax.eval_shape(lambda p: transposed_apply(
+                    self.V_net, p, jnp.zeros((d_in, 4))),
+                    self._probe_params())
+            except NotImplementedError:
+                ok = False
+        self.resolved_rollout_mode = "fused_train" if ok else "scan"
+        if (self.rollout_mode == "fused_train" and not ok
+                and not getattr(self, "_fused_fallback_warned", False)):
+            import warnings
+            self._fused_fallback_warned = True
+            warnings.warn(
+                "rollout_mode='fused_train' fell back to 'scan' (needs a "
+                "TPU backend, loss_method 'diffusion'/'BSDE', "
+                "detach_forward, the problem's transposed-coefficient "
+                "protocol and a transposed-apply value net)", stacklevel=3)
+        return ok
+
+    def _build_fused_run(self, time_stopping=False):
+        """Construct the fused stopped-rollout kernel (and remember
+        whether the in-kernel v_ref diagnostic is active)."""
+        from ..rollout.kernels import (
+            jaxpr_mosaic_safe, make_fused_stopped_train_rollout,
+            make_fused_stopped_train_rollout_sharded)
+        from ..rollout.sampling import inside_fn_cols
+        problem = self.problem
+        leaves_ex = tuple(jax.tree.leaves(self.params))
+        v_ref_T = (getattr(problem, "v_ref_T", None)
+                   if not time_stopping else None)
+        if v_ref_T is not None and not jaxpr_mosaic_safe(
+                v_ref_T, jax.ShapeDtypeStruct((self.d, 8), jnp.float32)):
+            v_ref_T = None   # FD-table refs gather: skip in-kernel diag
+        self._fused_v_ref = v_ref_T is not None
+        fkw = dict(inside_fn_T=inside_fn_cols(problem.geometry),
+                   adaptive_forward=self.adaptive_forward_process,
+                   time_stopping=time_stopping, v_ref_T=v_ref_T)
+        if self.fused_tile is not None:
+            fkw["tile"] = int(self.fused_tile)
+        if self.fused_unroll is not None:
+            fkw["unroll"] = int(self.fused_unroll)
+        if self.fused_rng is not None:
+            fkw["rng"] = str(self.fused_rng)
+        if self.mesh is not None:
+            return make_fused_stopped_train_rollout_sharded(
+                problem, self._terms_math_T(), leaves_ex, self.K, self.N,
+                self.delta_t, mesh=self.mesh, **fkw)
+        return make_fused_stopped_train_rollout(
+            problem, self._terms_math_T(), leaves_ex, self.K, self.N,
+            self.delta_t, **fkw)
+
+    def _fused_to_stopped_out(self, fo, Y0, K):
+        """FusedStoppedOut -> StoppedRolloutOut view for the shared loss
+        assembly (Y_0 added outside the kernel; no step losses in the
+        fused family)."""
+        from ..rollout.sde import StoppedRolloutOut
+        no_ref = not getattr(self, "_fused_v_ref", False)
+        has_ref = self.problem.has_v_ref
+        return StoppedRolloutOut(
+            X=fo.XT.T, Y=Y0.astype(jnp.float32) + fo.Y, t=fo.t,
+            stopped=fo.stopped > 0.5, hitting=fo.hitting,
+            v_l2=(jnp.full_like(fo.v_l2, jnp.nan)
+                  if (no_ref and has_ref) else fo.v_l2),
+            step_loss=jnp.float32(0.0),
+            active_count=jnp.sum(fo.adv_steps))
+
     def _resolve_dk(self, needs_xt: bool = False):
         """Resolve layout='dk' -> usable transposed pieces, or fall back
         to 'kd' with a one-time warning (cf. HJBSolver resolution)."""
@@ -222,7 +349,10 @@ class EllipticSolver:
         K, Kb, d = self.K, self.K_boundary, self.d
         a0, a1 = self.alpha[0], self.alpha[1]
         v_ref = problem.v_ref if hasattr(problem, "v_ref") else None
-        use_dk = self._resolve_dk()
+        use_fused = self._resolve_fused()
+        if use_fused:
+            fused_run = self._build_fused_run()
+        use_dk = (not use_fused) and self._resolve_dk()
         if use_dk:
             from ..rollout.sampling import inside_fn_cols
             vg_fn_T = self._value_grad_fn_T()
@@ -237,7 +367,9 @@ class EllipticSolver:
             loss = jnp.float32(0.0)
             aux = {}
 
-            if self.sample_center:
+            if self.sample_center and problem.has_v_ref:
+                # gated on has_v_ref (the reference crashes on an
+                # oracle-less problem here, solver.py:644-645 — beat it)
                 Xc = jnp.zeros((1, d))
                 loss = loss + jnp.mean((v_fn(Xc) - problem.v_ref(Xc)) ** 2)
 
@@ -258,7 +390,18 @@ class EllipticSolver:
                 Y0 = jnp.zeros((K,))
             Y0 = constrain_batch(Y0, self.mesh)
 
-            if use_dk:
+            if use_fused:
+                X0T = X0.T
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                leaves = tuple(jax.tree.leaves(params))
+                seed_f = jax.random.randint(
+                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
+                fo = fused_run(leaves, X0T, jnp.zeros((K,)), seed_f)
+                out = self._fused_to_stopped_out(fo, Y0, K)
+            elif use_dk:
                 X0T = X0.T
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -326,7 +469,11 @@ class EllipticSolver:
                 Xb = sample_boundary(kb, geom, Kb, d)
                 bound_l = jnp.mean((v_fn(Xb) - problem.g(Xb)) ** 2)
                 loss = loss + a1 * bound_l
-            v_l2 = jnp.mean((v_fn(X) - problem.v_ref(X)) ** 2) * self.delta_t
+            # V_L2 diagnostic only when the problem carries an oracle
+            # (NaN metric instead of a crash on e.g. DoubleWell_multidim_2)
+            v_l2 = (jnp.mean((v_fn(X) - problem.v_ref(X)) ** 2)
+                    * self.delta_t if problem.has_v_ref
+                    else jnp.float32(jnp.nan))
             aux = {"boundary": bound_l, "domain": dom, "V_L2": v_l2,
                    "K_count": jnp.float32(K),
                    "all_stopped": jnp.bool_(True)}

@@ -44,7 +44,8 @@ class GeneralSolver:
                  boundary_loss=True, full_hessian=False,
                  uniform_square=False, solve_linear_L2_projection=False,
                  value_net=None, remat=None, mesh=None, steps_per_call=1,
-                 rng_impl="threefry", layout="kd"):
+                 rng_impl="threefry", layout="kd", rollout_mode="scan",
+                 fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
         self.date = date.today().strftime("%Y-%m-%d")
@@ -85,6 +86,13 @@ class GeneralSolver:
         # input assembled as columns + a t row)
         self.rng_impl = rng_impl
         self.layout = layout
+        # rollout_mode='fused_train': one Pallas kernel per direction for
+        # the stopped space-time rollout (time_stopping in-kernel); same
+        # gates as EllipticSolver plus not solve_linear_L2_projection.
+        self.rollout_mode = rollout_mode
+        self.fused_tile = fused_tile
+        self.fused_unroll = fused_unroll
+        self.fused_rng = fused_rng
         key = jax.random.PRNGKey(seed)
         k_net, self._train_key = jax.random.split(key)
         if rng_impl != "threefry":
@@ -188,7 +196,37 @@ class GeneralSolver:
     # EllipticSolver (the value net here takes a d+1 input)
     from .elliptic import EllipticSolver as _Ell
     _resolve_dk = _Ell._resolve_dk
+    _resolve_fused = _Ell._resolve_fused
+    _build_fused_run = _Ell._build_fused_run
+    _fused_to_stopped_out = _Ell._fused_to_stopped_out
     del _Ell
+    _fused_needs_xt = True   # value net consumes (x, t)
+
+    def _terms_math_T(self):
+        """Space-time terms_math for the fused stopped kernel: the (x, t)
+        net input is assembled in column layout as [XT; t_row] (t LAST,
+        matching the row-layout concat in _value_grad_fn); h is the
+        parabolic h_T(t, xT, y, zT) with y_in_h = V."""
+        from ..ansatz.transposed import transposed_apply
+        sig = self.problem.sigma_struct
+        net = self.V_net
+        problem = self.problem
+        treedef = jax.tree.structure(self.params)
+
+        def terms(leaves, XT, t_row):
+            prm = jax.tree.unflatten(treedef, list(leaves))
+
+            def v_of_xT(xT):
+                xtT = jnp.concatenate([xT, t_row], axis=0)
+                return transposed_apply(net, prm, xtT)[0, :]
+
+            V, pull = jax.vjp(v_of_xT, XT)
+            (gradXT,) = pull(jnp.ones_like(V))
+            ZT = sig.apply_T_cols(gradXT)
+            hv = problem.h_T(t_row[0, :], XT, V, ZT)
+            return V.reshape(1, -1), ZT, hv.reshape(1, -1)
+
+        return terms
 
     def _rollout_cfg(self):
         lm = self.loss_method
@@ -228,7 +266,10 @@ class GeneralSolver:
         a0, a1, a2 = self.alpha
         T = self.T
         dt = self.delta_t
-        use_dk = self._resolve_dk(needs_xt=True)
+        use_fused = self._resolve_fused()
+        if use_fused:
+            fused_run = self._build_fused_run(time_stopping=True)
+        use_dk = (not use_fused) and self._resolve_dk(needs_xt=True)
         if use_dk:
             from ..rollout.sampling import inside_fn_cols
             vg_fn_T = self._value_grad_fn_T()
@@ -266,7 +307,18 @@ class GeneralSolver:
                 Y0 = jnp.zeros((K,))
             Y0 = constrain_batch(Y0, self.mesh)
 
-            if use_dk:
+            if use_fused:
+                X0T = X0.T
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    X0T = jax.lax.with_sharding_constraint(
+                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                leaves = tuple(jax.tree.leaves(params))
+                seed_f = jax.random.randint(
+                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
+                fo = fused_run(leaves, X0T, t0, seed_f)
+                out = self._fused_to_stopped_out(fo, Y0, K)
+            elif use_dk:
                 X0T = X0.T
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -131,3 +131,32 @@ def test_inside_fn_square_one_boundary():
     got = np.asarray(fn(X, Xp))
     # one_boundary: only the X_r face stops (solver.py:755-756)
     assert got.tolist() == [True, False, True]
+
+
+def test_oracle_less_problem_gates_diagnostics():
+    """PINN V_L2 and sample_center must not dereference a missing v_ref
+    (VERDICT r4 item 7: the reference crashes here, solver.py:828-931)."""
+    from pspde.problems.elliptic import _ZeroDriftBall
+
+    class NoOracle(_ZeroDriftBall):
+        def __init__(self, d=2):
+            super().__init__(d=d,
+                             B=jnp.sqrt(2.0) * jnp.eye(d, dtype=jnp.float32))
+            self.name = "no-oracle"
+
+        def g(self, x):
+            return jnp.sum(x * x, axis=-1)
+
+        def h(self, x, y, z):
+            return jnp.zeros(x.shape[0], x.dtype)
+
+        def h_T(self, xT, y, zT):
+            return jnp.zeros(xT.shape[1], xT.dtype)
+
+    p = NoOracle(d=2)
+    assert not p.has_v_ref
+    s = _train(p, "PINN", L=3)
+    assert np.isnan(s.V_L2_log[-1])          # NaN metric, not a crash
+    assert np.isfinite(s.loss_log[-1])
+    s2 = _train(p, "diffusion", L=3, sample_center=True)
+    assert np.isfinite(s2.loss_log[-1])

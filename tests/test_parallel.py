@@ -164,3 +164,21 @@ def test_hlo_no_path_sized_collectives_fused_sharded():
     hlo = jax.jit(jax.grad(loss)).lower(leaves).compile().as_text()
     _assert_param_sized_collectives_only(hlo, K, d, 8,
                                          {"z": s.params["z"]})
+
+
+def test_hlo_no_path_sized_collectives_eigen_dk():
+    """dp-sharded eigen step in the transposed (dk) layout: the X0.T
+    sharding constraint (ADVICE r4) must keep GSPMD from gathering or
+    re-sharding the transposed path state."""
+    from pspde.problems import FokkerPlanckEigen
+    from pspde.solvers import EigenSolver
+    mesh = make_mesh(n_dp=8)
+    K, d = 4096, 5
+    s = EigenSolver(FokkerPlanckEigen(d=d), "hlo-eig", lr=1e-3, L=1, K=K,
+                    K_boundary=64, delta_t=1e-3, N=8, verbose=False,
+                    mesh=mesh, layout="dk")
+    step = jax.jit(s._build_step())
+    assert s.resolved_layout == "dk"
+    hlo = step.lower(s.params, s.opt_state,
+                     jax.random.PRNGKey(0)).compile().as_text()
+    _assert_param_sized_collectives_only(hlo, K, d, 8, s.params)
