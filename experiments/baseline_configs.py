@@ -2,10 +2,13 @@
 """BASELINE.json 'configs' — the rebuild-scale targets (no reference run).
 
 BASELINE.json lists five target configurations for the TPU rebuild.
-Configs 1 and 3 are covered by existing experiments (ou_linear_costs /
-ou_quadratic_costs_linear_ansatz for the d=10 closed-form check,
-double_well_multidim_mixed for the moment-vs-log-variance head-to-head);
-this script runs the remaining three:
+Config 1 is covered by existing experiments (ou_linear_costs /
+ou_quadratic_costs_linear_ansatz, the d=10 closed-form check); this
+script runs the other four:
+
+  --config 3  HJB double-well d=20 AND d=50 as BASELINE states them,
+              moment vs log-variance head-to-head at K=10^4, validated
+              against the per-dim FD oracle + IS relative error.
 
   --config 2  Heat equation d=50 via diffusion loss (terminal-condition
               regression along sampled paths; validated against the
@@ -182,6 +185,52 @@ def config_4(args):
     return models
 
 
+def config_3(args):
+    """BASELINE config 3 AS STATED (VERDICT r4 item 5): HJB double-well
+    at d=20 AND d=50, moment vs log-variance head-to-head, 10^4 paths.
+
+    ``DoubleWell_multidim`` scales to any d via the per-dim product FD
+    oracle (problems.py:285-476); the mixed-metastability notebook's 30%
+    metastable split (eta=3, kappa=5 on d_1 dims, unit wells on the
+    rest) is kept: d=20 -> d_1=6, d=50 -> d_1=15.  Both losses train
+    with the adaptive (controlled) forward process and detached forward
+    drift — apples-to-apples; the moment loss additionally learns Y_0
+    (it regresses E-level, solver.py:166).  Validation: per-dim
+    FD-oracle u_L2 along paths + the IS relative error of the learned
+    control (the metastability experiments' central metric).
+    """
+    from pspde.eval import importance_sampling
+    from pspde.problems import DoubleWell_multidim
+    models = []
+    ds = [10] if args.smoke else [20, 50]
+    K = 512 if args.smoke else 10_000
+    for d in ds:
+        d_1 = (3 * d) // 10
+        p = DoubleWell_multidim(d=d, d_1=d_1, d_2=d - d_1, T=1.0,
+                                eta=3.0, kappa=5.0)
+        p.compute_reference_solution()
+        for name, kw in [
+                ("moment", dict(loss_method="moment", learn_Y_0=True)),
+                ("log-variance", dict(loss_method="log-variance"))]:
+            t0 = time.time()
+            s = HJBSolver("c3-%s-d%d" % (name, d), p, L=args.L, lr=5e-3,
+                          seed=args.seed, delta_t=0.005, K=K,
+                          time_approx="inner",
+                          adaptive_forward_process=True,
+                          detach_forward=True,
+                          print_every=max(args.L // 10, 1),
+                          early_stopping_time=None, verbose=False, **kw)
+            s.train()
+            _, _, rel_is = importance_sampling(
+                p, s, K=20000, delta_t=0.005)
+            s.IS_rel_log.append(float(rel_is))
+            print(f"config 3 d={d} {name}: u_L2 {s.u_L2_loss[0]:.3f} -> "
+                  f"{s.u_L2_loss[-1]:.4f}, IS rel err {rel_is:.3f} "
+                  f"in {time.time() - t0:.0f} s")
+            models.append(s)
+    return models
+
+
 def config_5(args):
     d, T, dt = 1000, 2.0, 0.01
     K = 4096 if args.smoke else 100_000
@@ -222,7 +271,8 @@ def main():
     args = parse_args(default_L=3000,
                       extra={"--config": dict(type=str, default="all"),
                              "--picard": dict(type=int, default=2)})
-    runs = {"2": config_2, "4": config_4, "5": config_5}
+    runs = {"2": config_2, "3": config_3, "4": config_4,
+            "5": config_5}
     todo = list(runs) if args.config == "all" else [args.config]
     models = []
     for c in todo:

@@ -401,6 +401,13 @@ def make_fused_train_rollout(
     interpret: bool = False,
     host_noise=None,          # (N, d, K) f32: test/CPU mode
     rng: str = "erfinv",      # in-kernel bits->normal map (or 'boxmuller')
+    noise_sign: float = 1.0,  # compile-time xi multiplier: two kernels
+                              # built with the SAME seed and signs +1/-1
+                              # yield mirrored path pairs (antithetic
+                              # training, cf. the serve kernel's
+                              # noise_sign); applies to host_noise too
+                              # so sign/noise-negation equivalence is
+                              # testable bitwise
     unroll: "int | None" = None,  # time-loop unroll factor (must divide
                               # N; manual unroll — Mosaic's fori_loop only
                               # supports unroll=1 or full).  None = auto:
@@ -456,6 +463,10 @@ def make_fused_train_rollout(
     _normals = {"erfinv": _normals_from_bits_erfinv,
                 "boxmuller": _normals_from_bits,
                 "binom": _normals_from_bits_binom}[rng]
+    if noise_sign != 1.0:   # antithetic mirror: same seed, flipped draws
+        _base_normals = _normals
+        _normals = lambda shape: np.float32(noise_sign) * _base_normals(
+            shape)
     have_u = u_tab is not None
     # (N, d): the reference-control row for step n is fetched by a
     # leading-dim dynamic slice (Mosaic cannot dynamically slice the lane
@@ -613,6 +624,8 @@ def make_fused_train_rollout(
     if use_host_noise:
         hn = jnp.pad(jnp.asarray(host_noise, jnp.float32),
                      ((0, 0), (0, 0), (0, Kp - K)))
+        if noise_sign != 1.0:
+            hn = jnp.float32(noise_sign) * hn
 
     def full_spec(x):
         nd = len(x.shape)
@@ -1120,7 +1133,12 @@ def make_fused_stopped_train_rollout(
             # full-array ref + ds row slice (a (1, tile) block of an
             # (n_tiles, tile) array violates the (8, 128) sublane tiling)
             t0_row = t0_ref[pl.ds(pl.program_id(0), 1), :]
-            z = jnp.zeros((1, tile), jnp.float32)
+            # zero accumulators derived from the row LOAD, not a constant:
+            # a literal jnp.zeros carry gets Mosaic's fully-replicated
+            # {*,*} layout, and the loop body's keepdims-reduce results
+            # ({*,0}) cannot be relayouted back to it ("Invalid relayout"
+            # on real hardware; interpret mode does not catch this)
+            z = t0_row * jnp.float32(0.0)
 
             def body(n0, carry):
                 X, t_row, stp, aY, aV, aH, aA = carry
@@ -1198,7 +1216,8 @@ def make_fused_stopped_train_rollout(
             X0 = x0_ref[:]
             t0_row = t0_ref[pl.ds(pl.program_id(0), 1), :]
             gy = gy_ref[pl.ds(pl.program_id(0), 1), :]
-            z = jnp.zeros((1, tile), jnp.float32)
+            # load-derived zero (see the forward kernel's layout note)
+            z = t0_row * jnp.float32(0.0)
             g0 = tuple(jnp.zeros(s, jnp.float32) for s in leaf_shapes)
 
             def body(n0, carry):

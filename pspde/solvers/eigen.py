@@ -79,8 +79,8 @@ class EigenSolver:
                  normalization="center", norm_penalty_weight=0.01,
                  hat_weight=1.0, adaptive_forward_process=False,
                  detach_forward=True, print_every=100, verbose=True,
-                 value_net=None, remat=None, mesh=None, steps_per_call=1,
-                 rng_impl="threefry", layout="kd", rollout_mode="scan",
+                 value_net=None, remat=None, mesh=None, steps_per_call="auto",
+                 rng_impl="threefry", layout="auto", rollout_mode="scan",
                  fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
@@ -210,7 +210,11 @@ class EigenSolver:
         use_fused = self._resolve_fused()
         if use_fused:
             fused_run = self._build_fused_run()
-        use_dk = ((not use_fused) and self.layout == "dk"
+        # layout='auto' (default): dk at K >= 1024, the measured
+        # lane-occupancy crossover (cf. EllipticSolver._resolve_dk)
+        want_dk = (self.layout == "dk"
+                   or (self.layout == "auto" and self.K >= 1024))
+        use_dk = ((not use_fused) and want_dk
                   and getattr(problem, "supports_transposed", False))
         if use_dk:
             from ..ansatz.transposed import transposed_apply

@@ -56,8 +56,8 @@ class EllipticSolver:
                  boundary_loss=True, boundary_type="Dirichlet",
                  variance_moment_split=False, full_hessian=False,
                  uniform_square=False, value_net=None, remat=None,
-                 mesh=None, steps_per_call=1, rng_impl="threefry",
-                 layout="kd", rollout_mode="scan", fused_tile=None,
+                 mesh=None, steps_per_call="auto", rng_impl="threefry",
+                 layout="auto", rollout_mode="scan", fused_tile=None,
                  fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
@@ -75,6 +75,16 @@ class EllipticSolver:
 
         self.adaptive_forward_process = adaptive_forward_process
         self.detach_forward = detach_forward
+        if approx_method != "Y":
+            # the reference DEFINES approx_method='Z' (solver.py:723-729)
+            # but its train loop only ever evaluates self.V, so the
+            # branch is dead code there; rebuilding it would be untestable
+            # parity theater — fail loudly instead (README deviations)
+            raise ValueError(
+                "approx_method=%r is not supported: the reference's 'Z' "
+                "branch is dead code (its training loop only uses V, "
+                "solver.py:723-729); use approx_method='Y'"
+                % (approx_method,))
         self.approx_method = approx_method
         self.sample_center = sample_center
         self.loss_method = loss_method
@@ -293,9 +303,15 @@ class EllipticSolver:
 
     def _resolve_dk(self, needs_xt: bool = False):
         """Resolve layout='dk' -> usable transposed pieces, or fall back
-        to 'kd' with a one-time warning (cf. HJBSolver resolution)."""
+        to 'kd' with a one-time warning (cf. HJBSolver resolution).
+        layout='auto' (default) picks dk when the gates pass AND
+        K >= 1024 — the measured lane-occupancy crossover (RESULTS
+        round-4 stopped-layout table: 1.2-2x at K >= 8192, a wash or a
+        loss at the reference's K=200); explicit 'kd'/'dk' force."""
         from ..ansatz.transposed import transposed_apply
-        use_dk = (self.layout == "dk"
+        want_dk = (self.layout == "dk"
+                   or (self.layout == "auto" and self.K >= 1024))
+        use_dk = (want_dk
                   and getattr(self.problem, "supports_transposed", False)
                   and self.loss_method != "PINN")
         if use_dk:

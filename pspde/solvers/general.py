@@ -43,8 +43,8 @@ class GeneralSolver:
                  PINN_log_variance=False, log_loss_parts=False,
                  boundary_loss=True, full_hessian=False,
                  uniform_square=False, solve_linear_L2_projection=False,
-                 value_net=None, remat=None, mesh=None, steps_per_call=1,
-                 rng_impl="threefry", layout="kd", rollout_mode="scan",
+                 value_net=None, remat=None, mesh=None, steps_per_call="auto",
+                 rng_impl="threefry", layout="auto", rollout_mode="scan",
                  fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name

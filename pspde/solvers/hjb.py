@@ -33,7 +33,7 @@ from ..losses.pathspace import (hjb_loss, log_variance_y0_losses)
 from ..rollout.sde import (HJBRolloutConfig, hjb_rollout,
                            hjb_rollout_batched_grad, hjb_rollout_dk,
                            hjb_rollout_fused)
-from ._chunk import run_training
+from ._chunk import resolve_steps_per_call, run_training
 
 
 def init_stacked(module, key, n_copies: int, sample_in: jnp.ndarray):
@@ -70,8 +70,8 @@ class HJBSolver:
                  burgers_drift=False, verbose=True,
                  control_net=None, value_net=None, lr_y0=None,
                  remat=None, mesh=None, dtype=jnp.float32,
-                 rollout_mode="scan", steps_per_call=1,
-                 rng_impl="threefry", layout="kd", antithetic=False,
+                 rollout_mode="scan", steps_per_call="auto",
+                 rng_impl="threefry", layout="auto", antithetic=False,
                  fused_tile=None, fused_unroll=None, fused_rng=None):
         self.problem = problem
         self.name = name
@@ -102,6 +102,24 @@ class HJBSolver:
             self.adaptive_forward_process = True
         if self.loss_method == "cross_entropy":
             self.learn_Y_0 = False
+
+        # Degenerate-gradient trap (beyond-reference guard; the reference
+        # has the same silent failure): the relative-entropy loss
+        # E[∫(½|Z|²+f)dt + g] is an ON-POLICY objective — its gradient
+        # carries a measure term that only exists when the graph runs
+        # through the trajectory (Nüsken & Richter's motivation for the
+        # log-variance loss).  With detach_forward=True that term is cut
+        # and the surviving E[∫Z·∂Z dt] just shrinks Z toward 0: training
+        # silently stalls at init (measured round 5: LLGC d=10 u_L2 stays
+        # 4.18 for 200 iters).  Warn once instead of wasting the run.
+        if detach_forward and self.loss_method == "relative_entropy":
+            import warnings
+            warnings.warn(
+                "loss_method='relative_entropy' with detach_forward=True "
+                "has a degenerate gradient (the on-policy measure term is "
+                "detached; the remaining term only shrinks Z toward 0) - "
+                "use detach_forward=False, or a detach-compatible loss "
+                "(log-variance / moment / cross_entropy)", stacklevel=2)
 
         self.has_ref_solution = (hasattr(problem, "u_ref_fn")
                                  or hasattr(problem, "u_ref"))
@@ -141,7 +159,11 @@ class HJBSolver:
         # requires the problem's transposed-coefficient protocol, control
         # mode, and a transposed-apply-capable net — silently falls back
         # to 'kd' otherwise).  Combine with rng_impl='rbg' for the full
-        # measured speedup (neither alone moves the needle).
+        # measured speedup (neither alone moves the needle).  'auto'
+        # (default) picks dk exactly when those gates pass AND K >= 1024
+        # — the measured lane-occupancy crossover; below it the
+        # transposed matmuls pad worse than row-major (RESULTS round-4
+        # stopped-layout table + Allen-Cahn negative).
         self.layout = layout
         # antithetic: simulate the K training paths as K/2 mirrored noise
         # pairs (xi, -xi) (no reference counterpart; see
@@ -152,16 +174,24 @@ class HJBSolver:
         # cancels exactly pairwise) — but HURTS variance-type losses
         # (log-variance grad variance +40%: correlated pairs degrade a
         # batch-variance estimator).  Use with relative_entropy /
-        # cross_entropy / moment; leave off for log-variance.
-        # Scan rollouts only: the fused Pallas kernel seeds its own
-        # in-kernel PRNG per tile and cannot mirror across tiles.
+        # cross_entropy / moment; leave off for log-variance.  NOTE:
+        # 'fused_train' requires detach_forward, which relative_entropy
+        # cannot use (degenerate gradient, see the __init__ warning) —
+        # antithetic fused_train pairs with moment / cross_entropy.
+        # Scan rollouts mirror within the batch; 'fused_train' builds TWO
+        # kernels over K/2 paths with the SAME per-call seed and
+        # compile-time noise signs +1/-1 (kernels.py noise_sign) — the
+        # concatenated ensemble is exactly K/2 mirrored pairs, so the
+        # pair-averaged mean-loss estimator and its gradient cancellation
+        # carry over.  The serve-style 'fused' mode cannot mirror (its
+        # forward is consumed by the batched-grad assembly per tile).
         if antithetic:
             if K % 2:
                 raise ValueError("antithetic training needs even K")
-            if rollout_mode in ("fused", "fused_train"):
+            if rollout_mode == "fused":
                 raise ValueError(
-                    "antithetic training is not supported with the fused "
-                    "Pallas rollouts - use rollout_mode='scan'")
+                    "antithetic training is not supported with "
+                    "rollout_mode='fused' - use 'scan' or 'fused_train'")
         self.antithetic = antithetic
         # fused-kernel tuning overrides (None = kernel defaults: tile 4096
         # auto-capped by the d*tile*unroll scoped-VMEM calibration,
@@ -413,16 +443,23 @@ class HJBSolver:
                 fused_kw["unroll"] = int(self.fused_unroll)
             if self.fused_rng is not None:
                 fused_kw["rng"] = str(self.fused_rng)
+            K_f = K // 2 if self.antithetic else K
             if self.mesh is not None:
                 from ..rollout.kernels import (
                     make_fused_train_rollout_sharded)
-                fused_train_run = make_fused_train_rollout_sharded(
-                    problem, z_apply_T, leaves_ex, K, self.N,
-                    self.delta_t, mesh=self.mesh, **fused_kw)
+                mk = lambda **kw2: make_fused_train_rollout_sharded(
+                    problem, z_apply_T, leaves_ex, K_f, self.N,
+                    self.delta_t, mesh=self.mesh, **fused_kw, **kw2)
             else:
-                fused_train_run = make_fused_train_rollout(
-                    problem, z_apply_T, leaves_ex, K, self.N,
-                    self.delta_t, **fused_kw)
+                mk = lambda **kw2: make_fused_train_rollout(
+                    problem, z_apply_T, leaves_ex, K_f, self.N,
+                    self.delta_t, **fused_kw, **kw2)
+            fused_train_run = mk()
+            # antithetic pair: same seed, mirrored noise (kernels.py
+            # noise_sign); outputs are concatenated so paths (i, i+K/2)
+            # form the (xi, -xi) pair
+            fused_train_run_neg = (mk(noise_sign=-1.0)
+                                   if self.antithetic else None)
 
         if use_fused:
             z_treedef = jax.tree.structure(self.params["z"])
@@ -436,9 +473,15 @@ class HJBSolver:
                 def u_apply(leaves_t, tX):
                     return jnp.zeros((tX.shape[0], d), jnp.float32)
 
-        # transposed (K-in-lanes) scan layout
+        # transposed (K-in-lanes) scan layout.  layout='auto' (default)
+        # resolves to dk at K >= 1024 — the measured crossover where the
+        # path axis fills the TPU lanes (RESULTS round-3/4 tables:
+        # dk buys nothing at the reference's K<=200 but 1.2-2x with
+        # rng_impl='rbg' once K ~ 1k+); explicit 'kd'/'dk' force.
+        want_dk = (self.layout == "dk"
+                   or (self.layout == "auto" and self.K >= 1024))
         use_dk = (
-            self.layout == "dk" and self.rollout_mode == "scan"
+            want_dk and self.rollout_mode == "scan"
             and self.approx_method == "control"
             and not cfg.value_mode and not cfg.burgers_drift
             and getattr(problem, "supports_transposed", False)
@@ -533,6 +576,11 @@ class HJBSolver:
                 seed_f = jax.random.randint(
                     kr, (), 0, 2**23 - 1).astype(jnp.float32)
                 out = fused_train_run(leaves, seed_f)
+                if fused_train_run_neg is not None:
+                    o2 = fused_train_run_neg(leaves, seed_f)
+                    out = jax.tree.map(
+                        lambda a, b: jnp.concatenate(
+                            [a, b], axis=a.ndim - 1), out, o2)
                 Y = Y0.astype(jnp.float32) + out.Y
                 return HJBRolloutOut(out.XT.T, Y, out.Z_sum, out.u_l2,
                                      jnp.zeros_like(out.Y))
@@ -658,16 +706,19 @@ class HJBSolver:
                      self.approx_method, self.time_approx, self.loss_method,
                      "adaptive" if self.adaptive_forward_process else ""))
         # Scan-chunked fast path: valid when the step is phase-static and
-        # no per-iteration host-side diagnostics are interleaved.
-        if (self.steps_per_call > 1
-                and self.loss_method not in (
-                    "log-variance-repa", "relative_entropy_log-variance")
-                and self.compute_gradient_variance == 0
-                and self.IS_variance_K == 0):
+        # no per-iteration host-side diagnostics are interleaved
+        # (steps_per_call='auto', the default, chunks exactly when this
+        # gate passes — _chunk.resolve_steps_per_call).
+        chunkable = (self.loss_method not in (
+                         "log-variance-repa", "relative_entropy_log-variance")
+                     and self.compute_gradient_variance == 0
+                     and self.IS_variance_K == 0)
+        if resolve_steps_per_call(self, chunkable) > 1 and chunkable:
             run_training(self, self._build_step(0),
                          stop_check=self._early_stop)
             self._finish_train()
             return
+        self.resolved_steps_per_call = 1
         key = self._train_key
         rel_IS = None
         for l in range(self.step, self.L):

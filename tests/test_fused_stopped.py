@@ -219,3 +219,90 @@ def test_fused_stopped_sharded_matches_unsharded():
                                np.asarray(o1.Y), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(o8.XT[:, :K // 8]),
                                np.asarray(o1.XT), rtol=1e-5, atol=1e-6)
+
+
+def test_eigen_fused_terms_match_scan_with_lambda_grad():
+    """EigenSolver._terms_math_T + fused kernel == lambda-shifted scan,
+    values AND gradients (lambda rides the leaves tuple; its gradient
+    must flow through the in-kernel VJP and be nonzero)."""
+    from pspde.problems import FokkerPlanckEigen
+    from pspde.solvers import EigenSolver
+    from pspde.solvers.eigen import _LambdaShiftedProblem
+    p = FokkerPlanckEigen(d=3)
+    s = EigenSolver(p, "eig-fused", L=1, K=K, N=N, delta_t=DT,
+                    verbose=False, lambda_init=0.3)
+    key = jax.random.PRNGKey(2)
+    noise = jnp.stack([
+        jax.random.normal(jax.random.fold_in(key, n), (K, 3),
+                          dtype=jnp.float32) for n in range(N)])
+    from pspde.rollout.sampling import sample_domain
+    X0 = sample_domain(jax.random.PRNGKey(9), p.geometry, K, 3)
+    zeros = jnp.zeros((K,))
+
+    terms = s._terms_math_T()
+    leaves_ex = tuple(jax.tree.leaves(s.params))
+    run = make_fused_stopped_train_rollout(
+        p, terms, leaves_ex, K, N, DT,
+        inside_fn_T=inside_fn_cols(p.geometry), v_ref_T=p.v_ref_T,
+        tile=32, interpret=True,
+        host_noise=jnp.transpose(noise, (0, 2, 1)))
+
+    sig = p.sigma_struct
+    cfg = StoppedRolloutConfig(N=N, delta_t=DT, detach_forward=True)
+    ins = inside_fn(p.geometry)
+
+    def vg(prm, X, t):
+        v_of_x = lambda x: s.V_net.apply(prm["V"], x)[:, 0]
+        V, pull = jax.vjp(v_of_x, X)
+        (gradX,) = pull(jnp.ones_like(V))
+        return V, sig.apply_T(gradX)
+
+    def loss_scan(prm):
+        sh = _LambdaShiftedProblem(p, s.lam(prm))
+        v_fn = lambda X: s.V_net.apply(prm["V"], X)[:, 0]
+        o = stopped_rollout(cfg, sh, vg, prm, X0, zeros, zeros, key, ins,
+                            v_ref=p.v_ref)
+        return jnp.mean((v_fn(o.X) - v_fn(X0) - o.Y) ** 2)
+
+    treedef = jax.tree.structure(s.params)
+
+    def loss_fused(lv):
+        prm = jax.tree.unflatten(treedef, list(lv))
+        v_fn = lambda X: s.V_net.apply(prm["V"], X)[:, 0]
+        o = run(lv, X0.T, zeros, jnp.float32(0))
+        return jnp.mean((v_fn(o.XT.T) - v_fn(X0) - o.Y) ** 2)
+
+    leaves = tuple(jax.tree.leaves(s.params))
+    np.testing.assert_allclose(float(loss_scan(s.params)),
+                               float(loss_fused(leaves)), rtol=2e-4)
+    g1 = jax.tree.leaves(jax.grad(loss_scan)(s.params))
+    g2 = jax.grad(loss_fused)(leaves)
+    # dict order {'V', 'lam'}: the lam leaf is last in both flattenings
+    assert abs(float(jnp.ravel(g2[-1])[0])) > 0.0
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-6)
+
+
+def test_solver_fused_mode_falls_back_off_tpu():
+    """rollout_mode='fused_train' on a non-TPU backend: one warning,
+    resolved_rollout_mode records the scan, training runs."""
+    from pspde.problems import FokkerPlanckEigen
+    from pspde.solvers import EigenSolver, EllipticSolver, GeneralSolver
+    kw = dict(L=2, K=32, K_boundary=16, N=4, delta_t=0.01, verbose=False,
+              rollout_mode="fused_train")
+    with pytest.warns(UserWarning, match="fell back to 'scan'"):
+        s = EllipticSolver(ExponentialOnSphere(d=3, alpha=0.5), "fb-ell",
+                           loss_method="diffusion", **kw)
+        s.train()
+    assert s.resolved_rollout_mode == "scan"
+    assert np.isfinite(s.loss_log[-1])
+    with pytest.warns(UserWarning, match="fell back to 'scan'"):
+        g = GeneralSolver(ExponentialOnSphereNonlinearParabolic(d=3),
+                          "fb-gen", loss_method="diffusion", **kw)
+        g.train()
+    assert g.resolved_rollout_mode == "scan"
+    with pytest.warns(UserWarning, match="fell back to 'scan'"):
+        e = EigenSolver(FokkerPlanckEigen(d=2), "fb-eig", **kw)
+        e.train()
+    assert e.resolved_rollout_mode == "scan"

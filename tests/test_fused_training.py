@@ -343,3 +343,62 @@ def test_fused_train_kernel_tile_calibration_cap(setup):
     assert s2.fused_tile == 256 and s2.fused_unroll == 1
     s2.train()
     assert np.isfinite(s2.loss_log).all()
+
+
+def test_fused_train_noise_sign_mirrors(setup):
+    """noise_sign=-1 with host noise xi == noise_sign=+1 with host noise
+    -xi, bitwise — outputs AND parameter gradients (the antithetic
+    fused_train pairing: two kernels, same seed, signs +/-1)."""
+    p, s, cfg, control_fn, u_apply, key, noise, X0, Y0 = setup
+    from pspde.ansatz.transposed import make_transposed_apply
+    from pspde.rollout.kernels import make_fused_train_rollout
+
+    leaves_ex, z_apply_T = make_transposed_apply(s.z_net, s.params["z"])
+    noise_T = jnp.transpose(noise, (0, 2, 1))
+    kw = dict(adaptive_forward=True, accumulate_kl=True, u_tab=None,
+              tile=32, interpret=True)
+    run_neg = make_fused_train_rollout(
+        p, z_apply_T, leaves_ex, K, N, DT, noise_sign=-1.0,
+        host_noise=noise_T, **kw)
+    run_mirror = make_fused_train_rollout(
+        p, z_apply_T, leaves_ex, K, N, DT, host_noise=-noise_T, **kw)
+    leaves = tuple(jax.tree.leaves(s.params["z"]))
+    o1 = run_neg(leaves, jnp.float32(0))
+    o2 = run_mirror(leaves, jnp.float32(0))
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(r):
+        def f(lv):
+            o = r(lv, jnp.float32(0))
+            return jnp.mean(o.Z_sum + p.g(o.XT.T))
+        return jax.grad(f)(leaves)
+
+    for a, b in zip(loss(run_neg), loss(run_mirror)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_antithetic_fused_train_gate_and_shapes():
+    """HJBSolver(antithetic=True, rollout_mode='fused_train') is accepted
+    (r4 raised ValueError) and falls back to the scan off-TPU, where the
+    antithetic scan trains fine; 'fused' still raises."""
+    import warnings
+    p = LLGC(d=D, T=1.0)
+    with pytest.raises(ValueError, match="fused"):
+        HJBSolver("anti-fused", p, L=1, K=K, delta_t=DT,
+                  loss_method="relative_entropy", detach_forward=True,
+                  time_approx="inner", verbose=False, antithetic=True,
+                  early_stopping_time=None, rollout_mode="fused")
+    # moment: a detach-compatible mean loss (relative_entropy + detach
+    # has a degenerate gradient — the __init__ warning covers it)
+    s = HJBSolver("anti-ft", p, L=2, K=K, delta_t=DT,
+                  loss_method="moment", learn_Y_0=True,
+                  detach_forward=True,
+                  time_approx="inner", verbose=False, antithetic=True,
+                  early_stopping_time=None, rollout_mode="fused_train")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        s.train()
+    # no TPU in CI: falls back to batched_grad (path_grad_ok holds)
+    assert s.resolved_rollout_mode in ("scan", "batched_grad")
+    assert np.isfinite(s.loss_log).all() and len(s.loss_log) == 2

@@ -250,7 +250,36 @@ def test_antithetic_training_rollout():
     with pytest.raises(ValueError, match="even K"):
         HJBSolver("bad", p, L=1, K=255, delta_t=0.05, verbose=False,
                   early_stopping_time=None, antithetic=True)
+    # 'fused' (serve-style) still cannot mirror; 'fused_train' now can
+    # (two kernels, same seed, noise_sign +/-1 — see
+    # test_fused_training.test_antithetic_fused_train_gate_and_shapes)
     with pytest.raises(ValueError, match="fused"):
         HJBSolver("bad", p, L=1, K=256, delta_t=0.05, verbose=False,
                   early_stopping_time=None, antithetic=True,
-                  rollout_mode="fused_train")
+                  rollout_mode="fused")
+
+
+def test_relative_entropy_detach_warns():
+    """relative_entropy + detach_forward=True silently stalls (the
+    on-policy measure term is cut; measured round 5: LLGC d=10 u_L2
+    flat at 4.18 for 200 iters) — the constructor must warn.  The
+    reference has the same latent failure and does not."""
+    import pytest
+
+    from pspde.problems import LLGC
+    from pspde.solvers import HJBSolver
+    p = LLGC(d=2, T=0.5)
+    with pytest.warns(UserWarning, match="degenerate gradient"):
+        HJBSolver("warn", p, L=1, K=32, delta_t=0.1, verbose=False,
+                  early_stopping_time=None,
+                  loss_method="relative_entropy", detach_forward=True)
+    import warnings
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        HJBSolver("ok", p, L=1, K=32, delta_t=0.1, verbose=False,
+                  early_stopping_time=None,
+                  loss_method="relative_entropy", detach_forward=False)
+        HJBSolver("ok2", p, L=1, K=32, delta_t=0.1, verbose=False,
+                  early_stopping_time=None, learn_Y_0=True,
+                  loss_method="moment", detach_forward=True)
+    assert not any("degenerate" in str(w.message) for w in rec)
