@@ -183,8 +183,10 @@ def main():
         jnp.bfloat16, rng_impl="rbg", layout="dk"))
     attempt("f32_scan_dk_rbg", lambda: measure(
         jnp.float32, rng_impl="rbg", layout="dk"))
+    # rng pinned explicitly in both fused modes: the kernel default
+    # became 'binom' in round 5, and the bench names must stay truthful
     attempt("f32_fused_train", lambda: measure(
-        jnp.float32, rollout_mode="fused_train"))
+        jnp.float32, rollout_mode="fused_train", fused_rng="erfinv"))
     attempt("f32_fused_binom", lambda: measure(
         jnp.float32, rollout_mode="fused_train", fused_rng="binom"))
     attempt("f32_fused_legacy", lambda: measure(
@@ -205,7 +207,8 @@ def main():
         "f32_scan": {},
         "bf16_scan_dk_rbg": dict(rng_impl="rbg", layout="dk"),
         "f32_scan_dk_rbg": dict(rng_impl="rbg", layout="dk"),
-        "f32_fused_train": dict(rollout_mode="fused_train"),
+        "f32_fused_train": dict(rollout_mode="fused_train",
+                                fused_rng="erfinv"),
         "f32_fused_binom": dict(rollout_mode="fused_train",
                                 fused_rng="binom"),
         "f32_fused_legacy": dict(rollout_mode="fused"),

@@ -400,7 +400,13 @@ def make_fused_train_rollout(
                               # a user request: warn if it must be capped)
     interpret: bool = False,
     host_noise=None,          # (N, d, K) f32: test/CPU mode
-    rng: str = "erfinv",      # in-kernel bits->normal map (or 'boxmuller')
+    rng: str = "binom",       # in-kernel bits->noise map: 'binom'
+                              # (default, moment-matched binomial — weak-
+                              # order equivalent and the measured winner:
+                              # round-5 LLGC d=100 20k-iter endpoints
+                              # u_L2 0.0305/IS 0.054 vs erfinv's
+                              # 0.0327/0.079 at 1.49x less wall-clock),
+                              # 'erfinv' (exact normals), or 'boxmuller'
     noise_sign: float = 1.0,  # compile-time xi multiplier: two kernels
                               # built with the SAME seed and signs +1/-1
                               # yield mirrored path pairs (antithetic

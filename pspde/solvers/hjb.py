@@ -198,10 +198,14 @@ class HJBSolver:
         # unroll 2 for even N — rollout/kernels.py)
         self.fused_tile = fused_tile
         self.fused_unroll = fused_unroll
-        # fused_rng='binom' swaps the fused kernel's erf_inv quantile
-        # map for moment-matched popcount-binomial noise (training-only;
-        # kernels.py:_normals_from_bits_binom) — the transform is ~48%
-        # of the fused forward's time (measured round 4)
+        # fused_rng: in-kernel noise map.  None = the kernel default,
+        # which round 5 promoted to 'binom' (moment-matched popcount-
+        # binomial, kernels.py:_normals_from_bits_binom) after the
+        # 20k-iter equal-budget endpoint comparison came out equal-or-
+        # better on u_L2 AND IS error at 1.49x less wall-clock
+        # (experiments/proto_binom_longrun.py, RESULTS round 5); the
+        # erf_inv transform it replaces was ~48% of the fused forward's
+        # time (round 4).  'erfinv' restores exact normals.
         self.fused_rng = fused_rng
 
         # -- ansatz ---------------------------------------------------------
