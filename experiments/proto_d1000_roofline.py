@@ -62,14 +62,14 @@ def main():
     for rng_name in ("erfinv", "binom"):
         s = build(rng_name)
         chunk = make_chunked_step(s._build_step(0), 5)
-        st = (s.params, s.opt_state, s._train_key)
-        st = chunk(*st)[:3]
+        # params/opt are DONATED by make_chunked_step — rebind each call
+        st = chunk(s.params, s.opt_state, s._train_key)[:3]
         jax.block_until_ready(st[0])
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            st2 = chunk(*st)
-            jax.block_until_ready(st2[0])
+            st = chunk(*st)[:3]
+            jax.block_until_ready(st[0])
             best = max(best, K * N / ((time.perf_counter() - t0) / 5))
         assert s.resolved_rollout_mode == "fused_train"
         out[f"train_{rng_name}_path_steps_per_sec"] = round(best, 1)
