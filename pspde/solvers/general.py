@@ -199,6 +199,11 @@ class GeneralSolver:
     _resolve_fused = _Ell._resolve_fused
     _build_fused_run = _Ell._build_fused_run
     _fused_to_stopped_out = _Ell._fused_to_stopped_out
+    # the transposed-apply capability probe (round-5 fix: missing this
+    # alias made fused_train crash with AttributeError on a REAL TPU —
+    # the CPU suite never reaches the probe because the backend gate
+    # short-circuits first; covered by the TPU breadth script)
+    _probe_params = _Ell._probe_params
     del _Ell
     _fused_needs_xt = True   # value net consumes (x, t)
 

@@ -306,3 +306,25 @@ def test_solver_fused_mode_falls_back_off_tpu():
         e = EigenSolver(FokkerPlanckEigen(d=2), "fb-eig", **kw)
         e.train()
     assert e.resolved_rollout_mode == "scan"
+
+
+def test_resolve_fused_probe_runs_on_all_solvers(monkeypatch):
+    """The transposed-apply capability probe inside _resolve_fused must
+    be reachable on every stopped-family solver: round 5 found
+    GeneralSolver missing the _probe_params alias, which crashed
+    fused_train with AttributeError ONLY on a real TPU (off-TPU the
+    backend gate short-circuits before the probe).  Fake the backend so
+    the probe executes here (eval_shape is backend-independent)."""
+    from pspde.problems import FokkerPlanckEigen
+    from pspde.solvers import EigenSolver, EllipticSolver, GeneralSolver
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(L=1, K=32, K_boundary=16, N=4, delta_t=0.01, verbose=False,
+              rollout_mode="fused_train")
+    e = EllipticSolver(ExponentialOnSphere(d=3, alpha=0.5), "pr-ell",
+                       loss_method="diffusion", **kw)
+    assert e._resolve_fused()
+    g = GeneralSolver(ExponentialOnSphereNonlinearParabolic(d=3),
+                      "pr-gen", loss_method="diffusion", **kw)
+    assert g._resolve_fused()
+    ei = EigenSolver(FokkerPlanckEigen(d=2), "pr-eig", **kw)
+    assert ei._resolve_fused()
