@@ -267,8 +267,20 @@ def main():
             # (VERDICT r4 weak 1): >105% of a hard bound means the
             # envelope measurement failed, not that the bound is beaten
             out["roofline_inconsistent"] = True
-    if roofline and (fwd_envelope or
-                     roofline.get("prng_normals_per_sec", 0) > 0):
+    # generator-mismatch guard (code review r5): the microbench normals
+    # rate is measured with the erfinv generator; a binom winner runs
+    # ~1.5x that ceiling BY DESIGN (cheaper noise), so comparing it to
+    # the erfinv speed of light would ship a spurious
+    # roofline_inconsistent=True whenever the in-process envelope
+    # measurement failed.  Without a same-generator envelope, skip the
+    # pct rather than flag a healthy run.
+    winner_binom = "binom" in best_name
+    if (roofline and not fwd_envelope and winner_binom):
+        out["vpu_roofline_note"] = (
+            "skipped: fwd_envelope failed and the erfinv normals "
+            "microbench is not a bound for the binom generator")
+    elif roofline and (fwd_envelope or
+                       roofline.get("prng_normals_per_sec", 0) > 0):
         # The binding VPU resource is PRNG-normals generation (round-4
         # study, RESULTS.md): the measured forward runs at ~100% of the
         # normals-only machine rate, so the train step's roofline is

@@ -724,7 +724,13 @@ def make_fused_train_rollout(
         if use_host_noise:
             inputs.append(hn)
         n_in = len(inputs)
-        leaf_shapes = [tuple(x.shape) if x.ndim == 2 else (1, x.shape[0])
+        # grad accumulators use the same canonical 2-d layout _canon2d
+        # gives the inputs: 2-d as-is, 0-d -> (1, 1), else (1, size)
+        # (code review r5: (1, x.shape[0]) raised IndexError on 0-d
+        # leaves and mis-sized rank>=3 leaves vs _canon2d's flattening)
+        leaf_shapes = [tuple(x.shape) if x.ndim == 2
+                       else (1, 1) if x.ndim == 0
+                       else (1, int(np.prod(x.shape)))
                        for x in leaves]
 
         def kernel(seed_ref, *refs):
@@ -1204,7 +1210,13 @@ def make_fused_stopped_train_rollout(
         if use_host_noise:
             inputs.append(hn)
         n_in = len(inputs)
-        leaf_shapes = [tuple(x.shape) if x.ndim == 2 else (1, x.shape[0])
+        # grad accumulators use the same canonical 2-d layout _canon2d
+        # gives the inputs: 2-d as-is, 0-d -> (1, 1), else (1, size)
+        # (code review r5: (1, x.shape[0]) raised IndexError on 0-d
+        # leaves and mis-sized rank>=3 leaves vs _canon2d's flattening)
+        leaf_shapes = [tuple(x.shape) if x.ndim == 2
+                       else (1, 1) if x.ndim == 0
+                       else (1, int(np.prod(x.shape)))
                        for x in leaves]
 
         def kernel(seed_ref, *refs):

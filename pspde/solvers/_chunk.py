@@ -81,6 +81,9 @@ def run_training(solver, step_core, stop_check=None):
 
     L = solver.L
     spc, n_full, rem = chunk_sizes(L, resolve_steps_per_call(solver))
+    # record the EFFECTIVE chunk (chunk_sizes caps at L): without this,
+    # L=6/auto would record 50 while a 6-step chunk ran (code review r5)
+    solver.resolved_steps_per_call = spc
     chunked = make_chunked_step(step_core, spc) if n_full and spc > 1 else None
     # lazy: the remainder (or a resume offset) may need single steps even
     # when L divides steps_per_call

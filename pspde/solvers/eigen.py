@@ -167,6 +167,9 @@ class EigenSolver:
     from .elliptic import EllipticSolver as _Ell
     _resolve_fused = _Ell._resolve_fused
     _build_fused_run = _Ell._build_fused_run
+    _shard_T = _Ell._shard_T
+    _fused_call = _Ell._fused_call
+    _fused_v_l2 = _Ell._fused_v_l2
     del _Ell
 
     def _terms_math_T(self):
@@ -273,20 +276,12 @@ class EigenSolver:
             phi_0 = v_fn(X0)
 
             if use_fused:
-                X0T = X0.T
-                if self.mesh is not None:
-                    from jax.sharding import (NamedSharding,
-                                              PartitionSpec as P)
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
-                leaves = tuple(jax.tree.leaves(params))
-                seed_f = jax.random.randint(
-                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
-                fo = fused_run(leaves, X0T, jnp.zeros((K,)), seed_f)
+                fo = self._fused_call(fused_run, params, X0,
+                                      jnp.zeros((K,)), kr)
                 dom_l = jnp.mean((v_fn(fo.XT.T) - phi_0 - fo.Y) ** 2)
                 loss = loss + a0 * dom_l
                 aux["domain"] = dom_l
-                aux["V_L2"] = jnp.mean(fo.v_l2)
+                aux["V_L2"] = jnp.mean(self._fused_v_l2(fo.v_l2))
                 return loss, aux
 
             shifted = _LambdaShiftedProblem(problem, lam)
@@ -305,15 +300,7 @@ class EigenSolver:
                     (gradXT,) = pull(jnp.ones_like(V))
                     return V, sig.apply_T_cols(gradXT)
 
-                X0T = X0.T
-                if self.mesh is not None:
-                    # keep the transposed path state path-sharded: without
-                    # the constraint GSPMD may re-shard/gather X0.T (the
-                    # hazard test_parallel's HLO guard checks; ADVICE r4)
-                    from jax.sharding import (NamedSharding,
-                                              PartitionSpec as P)
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                X0T = self._shard_T(X0.T)
                 out = stopped_rollout_dk(
                     cfg, shifted, vg_fn_T, params, X0T,
                     jnp.zeros((K,)), jnp.zeros((K,)), kr, ins_T,

@@ -286,18 +286,45 @@ class EllipticSolver:
             problem, self._terms_math_T(), leaves_ex, self.K, self.N,
             self.delta_t, **fkw)
 
+    def _shard_T(self, X0T):
+        """Keep transposed path state path-sharded (P(None, 'dp')) under
+        a mesh: without the constraint GSPMD may re-shard/gather X0.T
+        (the hazard test_parallel's HLO guard checks; ADVICE r4)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            X0T = jax.lax.with_sharding_constraint(
+                X0T, NamedSharding(self.mesh, P(None, "dp")))
+        return X0T
+
+    def _fused_call(self, fused_run, params, X0, t0, kr):
+        """Shared fused-kernel call prologue — transpose + dp constraint
+        + leaf flattening + f32 seed — one definition for the elliptic/
+        general/eigen steps (code review r5: was duplicated 4x)."""
+        X0T = self._shard_T(X0.T)
+        leaves = tuple(jax.tree.leaves(params))
+        seed_f = jax.random.randint(
+            kr, (), 0, 2**23 - 1).astype(jnp.float32)
+        return fused_run(leaves, X0T, t0, seed_f)
+
+    def _fused_v_l2(self, v_l2_acc):
+        """V_L2 accumulator -> metric: NaN sentinel when the in-kernel
+        v_ref diagnostic was DROPPED (Mosaic-unsafe v_ref_T) on a problem
+        that does have a reference — a 0.0 there would read as perfect
+        accuracy (code review r5; shared by elliptic and eigen)."""
+        no_ref = not getattr(self, "_fused_v_ref", False)
+        if no_ref and self.problem.has_v_ref:
+            return jnp.full_like(v_l2_acc, jnp.nan)
+        return v_l2_acc
+
     def _fused_to_stopped_out(self, fo, Y0, K):
         """FusedStoppedOut -> StoppedRolloutOut view for the shared loss
         assembly (Y_0 added outside the kernel; no step losses in the
         fused family)."""
         from ..rollout.sde import StoppedRolloutOut
-        no_ref = not getattr(self, "_fused_v_ref", False)
-        has_ref = self.problem.has_v_ref
         return StoppedRolloutOut(
             X=fo.XT.T, Y=Y0.astype(jnp.float32) + fo.Y, t=fo.t,
             stopped=fo.stopped > 0.5, hitting=fo.hitting,
-            v_l2=(jnp.full_like(fo.v_l2, jnp.nan)
-                  if (no_ref and has_ref) else fo.v_l2),
+            v_l2=self._fused_v_l2(fo.v_l2),
             step_loss=jnp.float32(0.0),
             active_count=jnp.sum(fo.adv_steps))
 
@@ -407,22 +434,11 @@ class EllipticSolver:
             Y0 = constrain_batch(Y0, self.mesh)
 
             if use_fused:
-                X0T = X0.T
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
-                leaves = tuple(jax.tree.leaves(params))
-                seed_f = jax.random.randint(
-                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
-                fo = fused_run(leaves, X0T, jnp.zeros((K,)), seed_f)
+                fo = self._fused_call(fused_run, params, X0,
+                                      jnp.zeros((K,)), kr)
                 out = self._fused_to_stopped_out(fo, Y0, K)
             elif use_dk:
-                X0T = X0.T
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                X0T = self._shard_T(X0.T)
                 out = stopped_rollout_dk(cfg, problem, vg_fn_T, params,
                                          X0T, Y0, jnp.zeros((K,)), kr,
                                          ins_T, v_ref_T=v_ref_T)

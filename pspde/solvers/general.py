@@ -199,6 +199,9 @@ class GeneralSolver:
     _resolve_fused = _Ell._resolve_fused
     _build_fused_run = _Ell._build_fused_run
     _fused_to_stopped_out = _Ell._fused_to_stopped_out
+    _fused_v_l2 = _Ell._fused_v_l2
+    _shard_T = _Ell._shard_T
+    _fused_call = _Ell._fused_call
     # the transposed-apply capability probe (round-5 fix: missing this
     # alias made fused_train crash with AttributeError on a REAL TPU —
     # the CPU suite never reaches the probe because the backend gate
@@ -313,22 +316,10 @@ class GeneralSolver:
             Y0 = constrain_batch(Y0, self.mesh)
 
             if use_fused:
-                X0T = X0.T
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
-                leaves = tuple(jax.tree.leaves(params))
-                seed_f = jax.random.randint(
-                    kr, (), 0, 2**23 - 1).astype(jnp.float32)
-                fo = fused_run(leaves, X0T, t0, seed_f)
+                fo = self._fused_call(fused_run, params, X0, t0, kr)
                 out = self._fused_to_stopped_out(fo, Y0, K)
             elif use_dk:
-                X0T = X0.T
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-                    X0T = jax.lax.with_sharding_constraint(
-                        X0T, NamedSharding(self.mesh, P(None, "dp")))
+                X0T = self._shard_T(X0.T)
                 out = stopped_rollout_dk(cfg, problem, vg_fn_T, params,
                                          X0T, Y0, t0, kr, ins_T)
             else:

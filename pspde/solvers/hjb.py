@@ -410,7 +410,11 @@ class HJBSolver:
             and dtype == jnp.float32
             and (self.mesh is None
                  or ("dp" in self.mesh.axis_names
-                     and K % self.mesh.shape["dp"] == 0))
+                     # antithetic halves K before sharding (K_f = K//2
+                     # below), so the divisibility gate must test the
+                     # halved count or the sharded builder raises
+                     and (K // 2 if self.antithetic else K)
+                     % self.mesh.shape["dp"] == 0))
             and getattr(problem, "supports_transposed", False)
             and (not self.u_l2_error_flag
                  or hasattr(problem, "u_ref_table"))

@@ -109,3 +109,31 @@ def test_hjb_auto_spc_respects_diagnostic_gate():
     s2.train()
     assert s2.resolved_steps_per_call > 1
     assert len(s2.loss_log) == 4
+
+
+def test_resolved_spc_records_effective_chunk():
+    """resolved_steps_per_call must record the EFFECTIVE (post-cap) chunk:
+    at L=6 with print_every=100, auto resolves to 50 but chunk_sizes caps
+    the chunk at L=6 — the recorded lever must say 6, not 50 (code
+    review r5)."""
+    s = _ell(K=64, L=6)                     # steps_per_call='auto'
+    s.print_every = 100
+    s.train()
+    assert s.resolved_steps_per_call == 6
+    assert len(s.loss_log) == 6
+
+
+def test_fused_v_l2_nan_sentinel():
+    """When the in-kernel v_ref diagnostic is dropped (Mosaic-unsafe
+    v_ref_T) on a problem that HAS a reference, the fused V_L2 metric is
+    NaN, never a fake-perfect 0.0 (code review r5; shared helper for
+    elliptic/general/eigen)."""
+    import jax.numpy as jnp
+    s = _ell(K=64, L=1)
+    acc = jnp.zeros((4,), jnp.float32)
+    assert s.problem.has_v_ref
+    s._fused_v_ref = False
+    assert np.isnan(np.asarray(s._fused_v_l2(acc))).all()
+    s._fused_v_ref = True                   # diagnostic active: passthrough
+    np.testing.assert_array_equal(np.asarray(s._fused_v_l2(acc)),
+                                  np.asarray(acc))
